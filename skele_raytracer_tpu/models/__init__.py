@@ -1,0 +1,3 @@
+from skele_raytracer_tpu.models.renderer import render, render_radiance
+
+__all__ = ["render", "render_radiance"]

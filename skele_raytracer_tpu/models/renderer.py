@@ -1,0 +1,82 @@
+"""Top-level render orchestration.
+
+The TPU-native replacement for the reference's render loops
+(`generate_rays_parallel`, src/main.cpp:19-104, and the serial SDL variant
+src/main.cpp:108-227): one jit-compiled program that
+
+  1. streams the frame's pixel samples in fixed-size chunks (`lax.map`) to
+     bound HBM residency — a 1080p jsample-5 frame is 52M primary rays and
+     is never materialized at once;
+  2. generates rays from flat sample ids (ops/camera.py) so the chunking —
+     and the device sharding built on top of it (parallel/) — never changes
+     the per-pixel RNG and therefore never changes the image;
+  3. averages supersamples per pixel (image[y][x] /= grid^2,
+     src/main.cpp:68) and reshapes to [H, W, 3].
+
+`render()` is the user-facing eager entry; `render_radiance` is the pure
+jittable core used by jit/grad/shard_map wrappers.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from skele_raytracer_tpu.config import RenderConfig
+from skele_raytracer_tpu.models.integrator import integrate
+from skele_raytracer_tpu.ops.camera import rays_for_ids
+
+
+def _chunk_samples(cfg: RenderConfig) -> int:
+    """Samples per chunk such that the expanded path frontier
+    (samples * num_paths) stays near cfg.rays_per_chunk."""
+    per = max(1, cfg.rays_per_chunk // max(cfg.paths_per_sample, 1))
+    return max(128, min(per, cfg.height * cfg.width * cfg.samples_per_pixel))
+
+
+def render_ids(scene, cfg: RenderConfig, key, sample_ids):
+    """Radiance [N, 3] for the given flat sample ids (pixel * spp + sample).
+
+    The unit of work for chunking AND device sharding: any partition of the
+    id space renders the identical frame.
+    """
+    o, d = rays_for_ids(scene.camera, cfg, key, sample_ids)
+    return integrate(scene, cfg, key, o, d, sample_ids)
+
+
+def render_ids_chunked(scene, cfg: RenderConfig, key, sample_ids):
+    """Radiance [N, 3] for arbitrary sample ids, streamed chunk by chunk.
+    Used both for the full frame and for per-device shards of it."""
+    n = sample_ids.shape[0]
+    chunk = _chunk_samples(cfg)
+    n_chunks = -(-n // chunk)
+    padded = n_chunks * chunk
+    ids = jnp.concatenate(
+        [sample_ids, jnp.zeros((padded - n,), jnp.uint32)]
+    ).reshape(n_chunks, chunk)
+    radiance = jax.lax.map(partial(render_ids, scene, cfg, key), ids)
+    return radiance.reshape(padded, 3)[:n]
+
+
+def render_radiance(scene, cfg: RenderConfig, key):
+    """Full-frame radiance [H, W, 3] (pre-quantization), jittable."""
+    H, W, spp = cfg.height, cfg.width, cfg.samples_per_pixel
+    sample_ids = jnp.arange(H * W * spp, dtype=jnp.uint32)
+    radiance = render_ids_chunked(scene, cfg, key, sample_ids)
+    # Average the supersamples (src/main.cpp:68: image /= grid^2).
+    return radiance.reshape(H, W, spp, 3).mean(axis=2)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _render_jit(scene, cfg, key):
+    return render_radiance(scene, cfg, key)
+
+
+def render(scene, cfg: RenderConfig, seed: int = 0):
+    """Render a frame: [H, W, 3] float32 radiance (clamp/quantize with
+    utils.image.to_ppm — the reference clamps to [0,1] and scales by 255
+    only at write time, src/main.cpp:88-101)."""
+    key = jax.random.key(seed)
+    return _render_jit(scene, cfg, key)

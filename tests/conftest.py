@@ -1,0 +1,78 @@
+"""Test harness config: run everything on a virtual 8-device CPU mesh.
+
+Set BEFORE jax initializes: tests must not depend on (or occupy) real TPU
+hardware, and the sharding tests need multiple devices
+(xla_force_host_platform_device_count=8 simulates them on CPU, the
+standard JAX practice for testing multi-device code without a pod).
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(__file__))  # make `oracle` importable
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from skele_raytracer_tpu.scene.parser import parse_scene_text  # noqa: E402
+
+# A small self-contained scene exercising every feature: multiple spheres
+# and materials, triangles, two point lights, a directional light (dropped
+# in parity mode), accumulated ambient, background, supersampling-friendly.
+TEST_SCN = """
+camera -6 2 -4 .77 0 .64 0 1 0 35
+background .05 .1 .15
+material .6 .55 .5 .7 .6 .5 .3 .25 .2 32 .2 .2 .2 1.5
+sphere 0 -50 0 50
+material .2 .8 .9 .25 .9 1 .3 .3 .3 16 .2 .2 .2 1.3
+sphere -3 1 0 .75
+material 0 .7 0 0 .7 0 .1 .2 .1 8 .9 .9 .9 1.1
+sphere 0 1.25 0 1
+material .1 .1 .9 .2 .2 1 .4 .4 .4 24 0 0 0 1.0
+sphere 3 1.5 0 1.25
+vertex -15 -15 10
+vertex -14 -15 10
+vertex -13 -15 10
+vertex -3 4 2
+vertex 0 5 2
+vertex -1.5 6.5 2
+triangle 0 1 2
+triangle 3 4 5
+point_light 10 10 10 0 5 0
+point_light 0 3 7 3 1 40
+directional_light .8 .1 .1 -1 -1 1
+ambient_light .15 .15 .15
+ambient_light .1 .1 .1
+max_depth 5
+"""
+
+
+@pytest.fixture(scope="session")
+def parsed_test_scene():
+    return parse_scene_text(TEST_SCN)
+
+
+@pytest.fixture(scope="session")
+def parsed_spheres1():
+    return parse_scene_text(open("/root/repo/scenes/spheres1.scn").read())
+
+
+def assert_images_close(a, b, atol=2e-5, rtol=2e-5, what=""):
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    assert a.shape == b.shape, (a.shape, b.shape)
+    err = np.abs(a - b)
+    denom = np.maximum(np.abs(b), 1.0)
+    rel = err / denom
+    ok = (err <= atol) | (rel <= rtol)
+    frac_bad = 1.0 - ok.mean()
+    assert frac_bad == 0.0, (
+        f"{what}: {frac_bad:.2%} of values differ "
+        f"(max abs {err.max():.3e}, max rel {rel.max():.3e})"
+    )

@@ -1,0 +1,84 @@
+"""JAX renderer vs the serial NumPy oracle, parity semantics.
+
+This is the framework's core correctness contract (the reference itself has
+no tests — SURVEY.md §4): every feature combination the reference's
+benchmarked configs exercise (BASELINE.md) is rendered small by both
+implementations and compared allclose.
+"""
+
+import numpy as np
+import pytest
+
+from conftest import assert_images_close
+from oracle import oracle_parity_view, render_oracle
+from skele_raytracer_tpu import PARITY, RenderConfig, render
+
+
+def _cfg(**kw):
+    base = dict(width=24, height=18, fov=60.0, quirks=PARITY, rays_per_chunk=2048)
+    base.update(kw)
+    return RenderConfig(**base)
+
+
+CASES = [
+    # (name, config overrides) — mirrors BASELINE.md's config axes.
+    ("bp_plain", dict(max_depth=1)),
+    ("bp_shadows", dict(max_depth=1, use_shadows=True)),
+    ("bp_jsample3", dict(max_depth=1, grid_size=3)),
+    ("bp_jsample2_shadows", dict(max_depth=1, grid_size=2, use_shadows=True)),
+    ("gillum4_depth1", dict(max_depth=1, monte_carlo=True, num_paths=4)),
+    ("gillum3_depth2", dict(max_depth=2, monte_carlo=True, num_paths=3)),
+    ("gillum2_depth3", dict(max_depth=3, monte_carlo=True, num_paths=2)),
+    ("gillum2_depth2_shadows", dict(max_depth=2, monte_carlo=True, num_paths=2,
+                                    use_shadows=True)),
+    ("gillum2_depth2_jsample2", dict(max_depth=2, monte_carlo=True, num_paths=2,
+                                     grid_size=2)),
+    ("fov_off_center", dict(max_depth=1, fov=35.0)),
+]
+
+
+@pytest.mark.parametrize("name,overrides", CASES, ids=[c[0] for c in CASES])
+def test_parity_vs_oracle(parsed_test_scene, name, overrides):
+    cfg = _cfg(**overrides)
+    parity_view = oracle_parity_view(parsed_test_scene)
+    expected = render_oracle(parity_view, cfg, seed=7)
+    scene = parsed_test_scene.to_scene(PARITY)
+    got = render(scene, cfg, seed=7)
+    # float32 vectorized vs float64 serial: tolerance covers accumulation
+    # order differences only.
+    assert_images_close(got, expected, atol=5e-4, rtol=5e-4, what=name)
+
+
+def test_parity_spheres1(parsed_spheres1):
+    """Real reference scene (scenes/spheres1.scn), BP + shadows."""
+    cfg = _cfg(width=32, height=24, max_depth=1, use_shadows=True)
+    expected = render_oracle(oracle_parity_view(parsed_spheres1), cfg, seed=0)
+    got = render(parsed_spheres1.to_scene(PARITY), cfg, seed=0)
+    assert_images_close(got, expected, atol=5e-4, rtol=5e-4, what="spheres1")
+
+
+def test_chunking_invariance(parsed_test_scene):
+    """The image must be bitwise identical for any rays_per_chunk — the
+    property that makes device sharding safe."""
+    scene = parsed_test_scene.to_scene(PARITY)
+    base = _cfg(max_depth=2, monte_carlo=True, num_paths=2)
+    img_a = np.asarray(render(scene, base.replace(rays_per_chunk=256), seed=3))
+    img_b = np.asarray(render(scene, base.replace(rays_per_chunk=4096), seed=3))
+    np.testing.assert_array_equal(img_a, img_b)
+
+
+def test_seed_changes_mc_image(parsed_test_scene):
+    scene = parsed_test_scene.to_scene(PARITY)
+    cfg = _cfg(max_depth=2, monte_carlo=True, num_paths=2)
+    a = np.asarray(render(scene, cfg, seed=0))
+    b = np.asarray(render(scene, cfg, seed=1))
+    assert not np.allclose(a, b)
+
+
+def test_deterministic_without_sampling(parsed_test_scene):
+    """No jitter, no MC, no fog -> seed must not matter at all."""
+    scene = parsed_test_scene.to_scene(PARITY)
+    cfg = _cfg(max_depth=1)
+    a = np.asarray(render(scene, cfg, seed=0))
+    b = np.asarray(render(scene, cfg, seed=99))
+    np.testing.assert_array_equal(a, b)
