@@ -1,0 +1,109 @@
+"""Headline benchmark: spheres2.scn at 1920x1080, Monte-Carlo gillum=16.
+
+Mirrors the reference's benchmarked configuration (reference README.md:51,
+src/time_notes:4: gillum 16 + shadows, "1920x1080", 6m16.81s on a 4-core
+2.5 GHz laptop with OpenMP) and reports rays/sec/chip for the forward
+render plus the forward+backward (gradient wrt every scene parameter)
+step, which the reference cannot do at all.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N, ...}
+vs_baseline = our forward rays/s on one chip divided by the reference's
+effective rays/s for the same nominal config.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+
+# Persistent compilation cache: the 1080p forward/backward programs take
+# minutes to compile through this environment's remote-compile tunnel but
+# are stable across runs.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+
+from skele_raytracer_tpu.config import RenderConfig
+from skele_raytracer_tpu.models.renderer import render_radiance
+from skele_raytracer_tpu.models.train import full_loss
+from skele_raytracer_tpu.scene.parser import parse_scene
+
+# Reference numbers (BASELINE.md): spheres2 gillum=16 + shadows took
+# 376.81 s at the README's claimed 1920x1080. Effective shade evaluations
+# per frame at the benchmarked depth (the timed path hardcoded max_depth=1,
+# reference src/main.cpp:23, where each of the 16 gillum paths costs one
+# child shade that immediately terminates): pixels * (1 + 16).
+REF_SECONDS = 376.81
+W, H, PATHS, DEPTH = 1920, 1080, 16, 2
+RAYS_PER_FRAME = W * H * (1 + PATHS * (DEPTH - 1))
+REF_RAYS_PER_SEC = W * H * (1 + 16) / REF_SECONDS
+
+
+def _sync(x):
+    """Force execution to actually finish: on this TPU backend
+    block_until_ready can return before the program completes, so read a
+    tiny slice back to the host (cheap, but gated on completion)."""
+    import numpy as np
+
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(leaf.ravel()[:1])
+
+
+def _time(fn, *args, iters=3):
+    _sync(fn(*args))  # compile + warm caches
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        _sync(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    scene = parse_scene("scenes/spheres2.scn").to_scene()
+    cfg = RenderConfig(
+        width=W,
+        height=H,
+        monte_carlo=True,
+        num_paths=PATHS,
+        max_depth=DEPTH,
+        use_shadows=True,
+        rays_per_chunk=1 << 17,
+    )
+    key = jnp.uint32(0)
+
+    fwd = jax.jit(lambda s, k: render_radiance(s, cfg, k))
+    t_fwd = _time(fwd, scene, key)
+
+    target = jnp.zeros((H, W, 3), jnp.float32)
+    fwdbwd = jax.jit(jax.grad(lambda s, k: full_loss(s, cfg, k, target)))
+    t_fwdbwd = _time(fwdbwd, scene, key)
+
+    rays_fwd = RAYS_PER_FRAME / t_fwd
+    rays_fwdbwd = RAYS_PER_FRAME / t_fwdbwd
+    print(
+        json.dumps(
+            {
+                "metric": "spheres2 1080p gillum16+shadows fwd rays/sec/chip",
+                "value": round(rays_fwd),
+                "unit": "rays/s",
+                "vs_baseline": round(rays_fwd / REF_RAYS_PER_SEC, 2),
+                "fwd_s_per_frame": round(t_fwd, 4),
+                "fwdbwd_s_per_frame": round(t_fwdbwd, 4),
+                "fwdbwd_rays_per_sec": round(rays_fwdbwd),
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,3 @@
+from skele_raytracer_tpu.cli import main
+
+raise SystemExit(main())

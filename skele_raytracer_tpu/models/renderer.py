@@ -48,7 +48,13 @@ def render_ids(scene, cfg: RenderConfig, key, sample_ids):
 
 def render_ids_chunked(scene, cfg: RenderConfig, key, sample_ids):
     """Radiance [N, 3] for arbitrary sample ids, streamed chunk by chunk.
-    Used both for the full frame and for per-device shards of it."""
+    Used both for the full frame and for per-device shards of it.
+
+    The chunk body is rematerialized (`jax.checkpoint`): without it,
+    reverse-mode AD would save every chunk's intermediates across the
+    whole lax.map — tens of GB/frame at 1080p — instead of recomputing
+    one chunk at a time during the backward sweep.
+    """
     n = sample_ids.shape[0]
     chunk = _chunk_samples(cfg)
     n_chunks = -(-n // chunk)
@@ -56,7 +62,8 @@ def render_ids_chunked(scene, cfg: RenderConfig, key, sample_ids):
     ids = jnp.concatenate(
         [sample_ids, jnp.zeros((padded - n,), jnp.uint32)]
     ).reshape(n_chunks, chunk)
-    radiance = jax.lax.map(partial(render_ids, scene, cfg, key), ids)
+    body = jax.checkpoint(partial(render_ids, scene, cfg, key))
+    radiance = jax.lax.map(body, ids)
     return radiance.reshape(padded, 3)[:n]
 
 
@@ -78,5 +85,4 @@ def render(scene, cfg: RenderConfig, seed: int = 0):
     """Render a frame: [H, W, 3] float32 radiance (clamp/quantize with
     utils.image.to_ppm — the reference clamps to [0,1] and scales by 255
     only at write time, src/main.cpp:88-101)."""
-    key = jax.random.key(seed)
-    return _render_jit(scene, cfg, key)
+    return _render_jit(scene, cfg, jnp.uint32(seed))

@@ -30,21 +30,32 @@ def dot(a, b, axis=-1):
     return jnp.sum(a * b, axis=axis)
 
 
-def norm(v, axis=-1, keepdims=False, eps=0.0):
-    return jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=axis, keepdims=keepdims), eps))
+def _pos_sqrt(x):
+    """sqrt(max(x, 0)) whose gradient is 0 (not inf/NaN) at x <= 0.
+
+    The naive sqrt(maximum(x, 0)) has an infinite partial at x == 0, and a
+    masked consumer's zero cotangent times that infinity is NaN — exactly
+    what happens for grazing-ray discriminants, padded primitives, and
+    zero-length vectors. The double-where makes every partial finite.
+    """
+    pos = x > 0
+    return jnp.sqrt(jnp.where(pos, x, 1.0)) * pos
+
+
+def norm(v, axis=-1, keepdims=False):
+    """|v| with zero (not NaN) gradient at v = 0."""
+    return _pos_sqrt(jnp.sum(v * v, axis=axis, keepdims=keepdims))
 
 
 def normalize(v, axis=-1):
-    """Normalize; zero vectors map to zero (glm would give nan/inf — the
-    reference never normalizes a zero vector on reachable paths)."""
+    """Normalize; zero vectors map to zero with zero gradient (glm would
+    give nan/inf — the reference never normalizes a zero vector on
+    reachable paths)."""
     n = norm(v, axis=axis, keepdims=True)
     return v * jnp.where(n > 0, 1.0 / jnp.where(n > 0, n, 1.0), 0.0)
 
 
-def _safe_sqrt(x):
-    """sqrt with a zero-gradient guard at x<=0 (avoids NaN cotangents from
-    the discriminant of grazing rays)."""
-    return jnp.sqrt(jnp.maximum(x, 0.0)) * (x > 0)
+_safe_sqrt = _pos_sqrt
 
 
 class SphereHits(NamedTuple):

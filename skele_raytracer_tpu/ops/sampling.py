@@ -4,15 +4,22 @@ The reference uses shared-state libc `rand()` inside its OpenMP region
 (src/main.cpp:52, src/raytrace.h:119-120) — a data race that makes runs
 unreproducible. The CUDA build prefigures the fix with deterministic
 per-pixel seeding (`curand_init(5351 * pixel)`, cudasrc/main.cu:53). Here
-every random draw is keyed on (seed, ray_id, bounce, purpose) with threefry
-(`jax.random.fold_in`), so renders are bitwise identical across any device
-sharding, chunking, or replay — including the NumPy test oracle, which
-derives the same keys.
+every draw comes from an explicit **counter-based threefry2x32**: the key
+encodes (seed, bounce, purpose) and the counter is (ray_id, draw_index),
+so renders are bitwise identical across any device sharding, chunking, or
+replay — and the NumPy test oracle reproduces the exact same streams.
+
+The generator is implemented directly on [R, n] uint32 arrays (pure VPU
+bit ops, no vmap, no per-ray key objects): deriving 10^5+ per-ray keys via
+vmapped `jax.random.fold_in` costs ~10 s/chunk on TPU through this stack,
+while the explicit counter form costs milliseconds — this IS the
+TPU-native design for per-ray RNG.
 """
 
 from __future__ import annotations
 
-import jax
+import numpy as np
+
 import jax.numpy as jnp
 
 from skele_raytracer_tpu.config import Quirks
@@ -22,18 +29,88 @@ PURPOSE_JITTER = 0  # supersampling pixel jitter (src/main.cpp:52)
 PURPOSE_PATH = 1  # MC hemisphere r1, r2 (src/raytrace.h:119-120)
 PURPOSE_FOG = 2  # fog interaction + phase function (src/blinn_phong.h:30, utils.h:218-221)
 
-
-def stream_key(base_key, ray_id, bounce, purpose):
-    """Derive the per-(ray, bounce, purpose) key. Vectorizes over ray_id."""
-    k = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(base_key, ray_id)
-    k = jax.vmap(jax.random.fold_in, in_axes=(0, None))(k, bounce)
-    return jax.vmap(jax.random.fold_in, in_axes=(0, None))(k, purpose)
+_PARITY = np.uint32(0x1BD11BDA)
+_ROT_A = (13, 15, 26, 6)
+_ROT_B = (17, 29, 16, 24)
+_GOLDEN = np.uint32(0x9E3779B9)
 
 
-def uniform(base_key, ray_id, bounce, purpose, shape=()):
-    """U[0,1) draws, shape [len(ray_id), *shape]."""
-    keys = stream_key(base_key, ray_id, bounce, purpose)
-    return jax.vmap(lambda k: jax.random.uniform(k, shape))(keys)
+def threefry2x32(k0, k1, x0, x1, xp=jnp):
+    """Threefry-2x32, 20 rounds (the same algorithm jax.random uses).
+
+    k0, k1: uint32 key words (scalars or arrays broadcastable to x).
+    x0, x1: uint32 counter words. Returns (y0, y1) uint32.
+    `xp` lets the NumPy oracle run the identical code (xp=np).
+    """
+    u32 = lambda v: v.astype(np.uint32) if hasattr(v, "astype") else np.uint32(v)
+    k0, k1, x0, x1 = u32(k0), u32(k1), u32(x0), u32(x1)
+    ks = (k0, k1, k0 ^ k1 ^ _PARITY)
+
+    def rotl(v, r):
+        return (v << np.uint32(r)) | (v >> np.uint32(32 - r))
+
+    x0 = x0 + ks[0]
+    x1 = x1 + ks[1]
+    for g in range(5):
+        rots = _ROT_A if g % 2 == 0 else _ROT_B
+        for r in rots:
+            x0 = x0 + x1
+            x1 = rotl(x1, r)
+            x1 = x1 ^ x0
+        x0 = x0 + ks[(g + 1) % 3]
+        x1 = x1 + ks[(g + 2) % 3] + np.uint32(g + 1)
+    return x0, x1
+
+
+def _stream_key_words(seed, bounce, purpose):
+    """(k0, k1) uint32 key words for the (seed, bounce, purpose) stream."""
+    k0 = jnp.asarray(seed, jnp.uint32)
+    k1 = (
+        jnp.asarray(bounce, jnp.uint32) * _GOLDEN
+        + jnp.asarray(purpose, jnp.uint32)
+    )
+    return k0, k1
+
+
+def bits_to_unit(bits, xp=jnp):
+    """uint32 -> float32 in [0, 1): top 24 bits scaled by 2^-24."""
+    return (bits >> np.uint32(8)).astype(np.float32) * np.float32(2**-24)
+
+
+def uniform(seed, ray_id, bounce, purpose, shape=()):
+    """U[0,1) draws, shape [len(ray_id), *shape].
+
+    seed: uint32 scalar (render seed). ray_id: [R] uint32 — the counter
+    identity that makes draws independent of chunking/sharding. bounce,
+    purpose: scalars selecting the stream.
+    """
+    n = int(np.prod(shape, dtype=np.int64)) if shape else 1
+    k0, k1 = _stream_key_words(seed, bounce, purpose)
+    x0 = jnp.broadcast_to(ray_id.astype(jnp.uint32)[:, None], (ray_id.shape[0], n))
+    x1 = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.uint32)[None, :], (ray_id.shape[0], n)
+    )
+    y0, _ = threefry2x32(k0, k1, x0, x1)
+    u = bits_to_unit(y0)
+    return u.reshape((ray_id.shape[0],) + tuple(shape))
+
+
+def uniform_np(seed, ray_id, bounce, purpose, shape=()):
+    """NumPy mirror of `uniform` for the serial test oracle — bit-identical
+    streams (same threefry code via xp=np)."""
+    n = int(np.prod(shape, dtype=np.int64)) if shape else 1
+    with np.errstate(over="ignore"):
+        k0 = np.uint32(seed)
+        k1 = np.uint32((int(bounce) * int(_GOLDEN) + int(purpose)) & 0xFFFFFFFF)
+    ray_id = np.asarray(ray_id, np.uint32).reshape(-1)
+    with np.errstate(over="ignore"):
+        x0 = np.broadcast_to(ray_id[:, None], (ray_id.shape[0], n)).astype(np.uint32)
+        x1 = np.broadcast_to(
+            np.arange(n, dtype=np.uint32)[None, :], (ray_id.shape[0], n)
+        ).astype(np.uint32)
+        y0, _ = threefry2x32(k0, k1, x0, x1, xp=np)
+    u = bits_to_unit(y0, xp=np)
+    return u.reshape((ray_id.shape[0],) + tuple(shape))
 
 
 def uniform_sample_hemi(r1, r2):
@@ -41,7 +118,8 @@ def uniform_sample_hemi(r1, r2):
     `uniform_sample_hemi`, src/raytrace.h:22-30): NOT cosine-weighted; the
     integrator applies the r1 cosine weight explicitly (src/raytrace.h:130).
     r1, r2: [...]; returns [..., 3]."""
-    s_theta = jnp.sqrt(jnp.maximum(1.0 - r1 * r1, 0.0))
+    pos = 1.0 - r1 * r1 > 0
+    s_theta = jnp.sqrt(jnp.where(pos, 1.0 - r1 * r1, 1.0)) * pos
     phi = 2.0 * jnp.pi * r2
     return jnp.stack([s_theta * jnp.cos(phi), r1, s_theta * jnp.sin(phi)], axis=-1)
 

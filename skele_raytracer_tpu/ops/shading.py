@@ -36,7 +36,14 @@ from skele_raytracer_tpu.config import (
     Quirks,
     RenderConfig,
 )
-from skele_raytracer_tpu.ops.geometry import dot, norm, normalize, ray_sphere_all, ray_triangle_all
+from skele_raytracer_tpu.ops.geometry import (
+    _pos_sqrt,
+    dot,
+    norm,
+    normalize,
+    ray_sphere_all,
+    ray_triangle_all,
+)
 
 
 class GatheredMaterial(NamedTuple):
@@ -253,7 +260,7 @@ def refraction(d, n, ior):
     k < 0 -> zero vector (total internal reflection sentinel)."""
     dn = dot(d, n)[..., None]
     k = 1.0 - ior[..., None] ** 2 * (1.0 - dn * dn)
-    refr = ior[..., None] * d - (ior[..., None] * dn + jnp.sqrt(jnp.maximum(k, 0.0))) * n
+    refr = ior[..., None] * d - (ior[..., None] * dn + _pos_sqrt(k)) * n
     return jnp.where(k < 0.0, 0.0, refr)
 
 
@@ -264,8 +271,8 @@ def fresnel(d, n, ior):
     cosi = jnp.clip(dot(d, n), -1.0, 1.0)
     et = jnp.where(cosi > 0, ior, 1.0)
     io = jnp.where(cosi > 0, 1.0, ior)
-    sint = et / io * jnp.sqrt(jnp.maximum(0.0, 1.0 - cosi * cosi))
-    cost = jnp.sqrt(jnp.maximum(0.0, 1.0 - sint * sint))
+    sint = et / jnp.where(io != 0, io, 1.0) * _pos_sqrt(1.0 - cosi * cosi)
+    cost = _pos_sqrt(1.0 - sint * sint)
     cosi = jnp.abs(cosi)
     denom = io * cosi + et * cost
     denom = jnp.where(jnp.abs(denom) > 1e-30, denom, 1e-30)

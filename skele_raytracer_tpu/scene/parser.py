@@ -161,12 +161,11 @@ def parse_scene_text(text: str) -> ParsedScene:
             # Indices are read as floats and truncated on use
             # (src/scene.cpp:69-74: sscanf %f then vector[float]).
             i0, i1, i2 = (int(v) for v in _floats(args, 3, command))
-            try:
-                v0, v1, v2 = scene.vertices[i0], scene.vertices[i1], scene.vertices[i2]
-            except IndexError:
+            if not all(0 <= i < len(scene.vertices) for i in (i0, i1, i2)):
                 # The reference would read out of bounds (UB); skip + warn.
                 log.warning("triangle indices (%d,%d,%d) out of range; skipped", i0, i1, i2)
                 continue
+            v0, v1, v2 = scene.vertices[i0], scene.vertices[i1], scene.vertices[i2]
             scene.triangles.append(dict(v0=v0, v1=v1, v2=v2, **mat.as_dict()))
         elif command == "camera":
             f = _floats(args, 10, command)

@@ -207,11 +207,16 @@ def make_scene(
         out["mask"] = jnp.asarray(mask, dtype)
         return out
 
+    # Primitive axes pad to a multiple (they are the per-ray scan axes and
+    # benefit from aligned shapes reused across similar scenes); light/fog
+    # axes pad only to >= 1 — they multiply into [rays, lights, fog, ...]
+    # shading/RNG intermediates, where 8x padding would mean 8-64x wasted
+    # bandwidth on the hot path.
     ns = padded_size(len(spheres), pad_multiple)
     nt = padded_size(len(triangles), pad_multiple)
-    nl = padded_size(len(point_lights), pad_multiple)
-    nd = padded_size(len(directional_lights), pad_multiple)
-    nf = padded_size(len(fog), pad_multiple)
+    nl = padded_size(len(point_lights), 1)
+    nd = padded_size(len(directional_lights), 1)
+    nf = padded_size(len(fog), 1)
 
     mat_fields = dict(ambient=3, diffuse=3, specular=3, transmissive=3, power=1, ior=1)
     sph = build(spheres, dict(center=3, radius=1, **mat_fields), ns)

@@ -9,12 +9,39 @@ standard JAX practice for testing multi-device code without a pod).
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
+# This image injects an `axon` TPU PJRT plugin via a PYTHONPATH
+# sitecustomize that imports jax and initializes the backend BEFORE any
+# user code runs, so setting JAX_PLATFORMS/XLA_FLAGS here is too late.
+# Re-exec pytest once with the sitecustomize stripped and the CPU mesh
+# flags in place (guarded against loops by SKT_TEST_REEXEC).
+
+
+def _needs_reexec() -> bool:
+    if os.environ.get("SKT_TEST_REEXEC") == "1":
+        return False
+    import jax
+
+    devs = jax.devices()
+    return len(devs) < 8 or devs[0].platform != "cpu"
+
+
+if _needs_reexec():
+    env = dict(os.environ)
+    env["SKT_TEST_REEXEC"] = "1"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
     ).strip()
+    env["PYTHONPATH"] = os.pathsep.join(
+        p
+        for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and "axon" not in p
+    )
+    os.execve(
+        sys.executable,
+        [sys.executable, "-m", "pytest"] + sys.argv[1:],
+        env,
+    )
 
 sys.path.insert(0, os.path.dirname(__file__))  # make `oracle` importable
 

@@ -27,7 +27,6 @@ from __future__ import annotations
 
 import math
 
-import jax
 import numpy as np
 
 from skele_raytracer_tpu.ops import sampling
@@ -37,10 +36,9 @@ INF = float("inf")
 
 
 def _uniform(base_key, ray_id, bounce, purpose, shape=()):
-    k = jax.random.fold_in(base_key, np.uint32(ray_id))
-    k = jax.random.fold_in(k, bounce)
-    k = jax.random.fold_in(k, purpose)
-    return np.asarray(jax.random.uniform(k, shape))
+    # Same counter-based threefry streams as the production renderer
+    # (sampling.uniform), via its NumPy mirror — bit-identical.
+    return sampling.uniform_np(base_key, [ray_id], bounce, purpose, shape)[0]
 
 
 def _norm(v):
@@ -214,8 +212,8 @@ def _nearest_hit(parsed, o, d):
 def _fog_uniforms(parsed, base_key, ray_id, bounce):
     if not parsed.fog:
         return None
-    pl = padded_size(len(parsed.point_lights))
-    pf = padded_size(len(parsed.fog))
+    pl = padded_size(len(parsed.point_lights), 1)
+    pf = padded_size(len(parsed.fog), 1)
     return _uniform(base_key, ray_id, bounce, sampling.PURPOSE_FOG, (pl, pf, 4, 2))
 
 
@@ -255,7 +253,7 @@ def render_oracle(parsed, cfg, seed=0):
     """Render [H, W, 3] float64 with the parity semantics. `parsed` must be
     pre-transformed for parity (directional lights dropped, fog zeroed) —
     use oracle_parity_view()."""
-    base_key = jax.random.key(seed)
+    base_key = np.uint32(seed)
     H, W = cfg.height, cfg.width
     spp = cfg.samples_per_pixel
     P = cfg.paths_per_sample

@@ -64,7 +64,10 @@ def test_chunking_invariance(parsed_test_scene):
     base = _cfg(max_depth=2, monte_carlo=True, num_paths=2)
     img_a = np.asarray(render(scene, base.replace(rays_per_chunk=256), seed=3))
     img_b = np.asarray(render(scene, base.replace(rays_per_chunk=4096), seed=3))
-    np.testing.assert_array_equal(img_a, img_b)
+    # RNG and per-ray math are bit-identical by construction (counter-based
+    # streams); XLA may still tile the per-pixel reductions differently for
+    # different chunk shapes, so allow 1-2 ulp.
+    np.testing.assert_allclose(img_a, img_b, rtol=0, atol=1e-6)
 
 
 def test_seed_changes_mc_image(parsed_test_scene):
