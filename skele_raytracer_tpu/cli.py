@@ -61,6 +61,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="ray-batch chunk size (HBM residency bound)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax.profiler trace to DIR")
+    p.add_argument("--backend", default="auto", choices=("auto", "jnp", "pallas"),
+                   help="hot-path backend: fused Pallas TPU kernels or pure "
+                   "jnp (auto = pallas on TPU)")
     return p
 
 
@@ -109,6 +112,13 @@ def main(argv=None) -> int:
         print(f"scene file could not be opened: {args.path}", file=sys.stderr)
         return 1
     cfg = config_from_args(args, parsed.width, parsed.height)
+    backend = args.backend
+    if backend == "auto":
+        # Pallas kernels pay off on the triangle axis (mesh scenes); for
+        # sphere-only scenes XLA's fused jnp path is faster (ops/geometry.py).
+        on_tpu = jax.default_backend() == "tpu"
+        backend = "pallas" if (on_tpu and parsed.triangles) else "jnp"
+    cfg = cfg.replace(backend=backend)
     scene = parsed.to_scene(cfg.quirks)
 
     n_dev = len(jax.devices())

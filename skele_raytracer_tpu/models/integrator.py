@@ -40,7 +40,7 @@ from skele_raytracer_tpu.config import (
     RenderConfig,
 )
 from skele_raytracer_tpu.ops import sampling
-from skele_raytracer_tpu.ops.geometry import intersect, normalize
+from skele_raytracer_tpu.ops.geometry import intersect, normalize, offset_origin
 from skele_raytracer_tpu.ops.shading import (
     direct_illumination,
     fresnel,
@@ -54,7 +54,9 @@ _PI = jnp.pi
 
 
 def _fog_uniforms(scene, cfg, key, ids, bounce):
-    if not scene.has_fog:
+    # fog_zeroed: the fog term is identically zero (types.Scene.fog_zeroed)
+    # and shading skips the rerouted block, so no draws are needed.
+    if not scene.has_fog or scene.fog_zeroed:
         return None
     L = scene.point_lights.mask.shape[0]
     F = scene.fog.mask.shape[0]
@@ -69,7 +71,7 @@ def _shade_hit(scene, cfg: RenderConfig, key, o, d, ids, bounce):
     miss_mask [R]).
     """
     quirks = cfg.quirks
-    hits = intersect(o, d, scene, quirks=quirks)
+    hits = intersect(o, d, scene, quirks=quirks, backend=cfg.backend)
     # Hit topology is discrete: selection is held fixed for gradients
     # (differentiate shading wrt params given the forward's hit structure).
     kind = jax.lax.stop_gradient(hits.kind)
@@ -110,7 +112,7 @@ def _mc_continue(scene, cfg: RenderConfig, key, hits, mat, ids, bounce):
     if quirks.scalar_epsilon_offset:
         o_new = hits.point + INDIRECT_ORIGIN_EPS  # scalar add (src/raytrace.h:128)
     else:
-        o_new = hits.point + CLEAN_T_EPS * hits.normal
+        o_new = offset_origin(hits.point, hits.normal)
     factor = 2.0 * _PI * r1[:, None] * mat.diffuse
     return o_new, d_new, factor
 
@@ -212,14 +214,14 @@ def integrate_whitted(scene, cfg: RenderConfig, key, o, d, sample_ids):
         fr = fresnel(d_hat, hits.normal, mat.ior)
         has_spec = jnp.any(mat.specular != 0.0, axis=-1) & shades
 
-        o_child = hits.point + CLEAN_T_EPS * hits.normal
+        o_child = offset_origin(hits.point, hits.normal)
         refl_d = d_hat - 2.0 * jnp.sum(d_hat * hits.normal, -1, keepdims=True) * hits.normal
         refl_w = weight * mat.specular * (1.0 - fr)[:, None] * has_spec[:, None]
         refr_d = refraction(d_hat, hits.normal, mat.ior)
         refr_valid = has_spec & (fr < 1.0) & (jnp.sum(refr_d * refr_d, -1) > 0)
         refr_w = weight * fr[:, None] * refr_valid[:, None]
         # refraction continues on the far side of the surface
-        o_refr = hits.point - CLEAN_T_EPS * hits.normal
+        o_refr = offset_origin(hits.point, hits.normal, sign=-1.0)
 
         frontier_o = jnp.concatenate([o_child, o_refr], axis=0)
         frontier_d = jnp.concatenate([refl_d, refr_d], axis=0)

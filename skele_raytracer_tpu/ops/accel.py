@@ -1,0 +1,134 @@
+"""Triangle-mesh acceleration: Morton-ordered clusters + AABB culling.
+
+The reference scans every triangle for every ray (src/raytrace.h:170-187;
+dragon.scn = 10,002 triangles, brute force). A pointer-chasing BVH is the
+CPU answer; its divergent traversal is hostile to a TPU. The TPU-native
+scheme keeps everything dense and batched:
+
+1. Build (host, once per mesh): sort triangles along a Morton curve of
+   their centroids, cut the order into fixed-size clusters of
+   CLUSTER_SIZE triangles, and store one AABB per cluster. Morton order
+   makes consecutive triangles spatially coherent, so cluster AABBs are
+   tight.
+2. Cull (device, per ray batch): slab-test every ray against every
+   cluster AABB — an [R, C] computation with C ~ T/CLUSTER_SIZE (dragon:
+   ~80 clusters), ~250x cheaper than [R, T].
+3. Intersect: only clusters whose AABB the ray enters are scanned. In the
+   jnp path this is a where-mask over the per-cluster scan; the Pallas
+   path feeds the per-ray-tile cluster shortlist to the streaming
+   triangle kernel.
+
+All arrays stay fixed-shape; "traversal" is one dense mask. This is the
+grid/BVH-style culling SURVEY.md §7 lists as new work vs the reference.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+CLUSTER_SIZE = 128  # triangles per cluster (one VMEM-friendly block)
+
+
+def _morton3(x: np.ndarray) -> np.ndarray:
+    """30-bit Morton codes for points normalized to [0, 1)^3. x: [N, 3]."""
+    q = np.clip((x * 1024.0), 0, 1023).astype(np.uint32)
+
+    def spread(v):
+        v = (v | (v << 16)) & np.uint32(0x030000FF)
+        v = (v | (v << 8)) & np.uint32(0x0300F00F)
+        v = (v | (v << 4)) & np.uint32(0x030C30C3)
+        v = (v | (v << 2)) & np.uint32(0x09249249)
+        return v
+
+    return (
+        (spread(q[:, 0]) << 2) | (spread(q[:, 1]) << 1) | spread(q[:, 2])
+    )
+
+
+class ClusteredMesh(NamedTuple):
+    """Triangles reordered into spatial clusters, plus cluster AABBs.
+
+    v0/v1/v2/mask: [Tc, 3]/[Tc] — Morton-sorted, padded to a multiple of
+    CLUSTER_SIZE (padding rows have mask 0).
+    perm: [Tc] float32 — original triangle index per sorted row (for
+    material lookup; padding rows point at 0). Stored as float so the
+    Scene pytree stays all-inexact (jax.grad rejects integer leaves);
+    indices are exact in f32 up to 2^24 triangles.
+    aabb_lo/aabb_hi: [C, 3] cluster bounds.
+    """
+
+    v0: jnp.ndarray
+    v1: jnp.ndarray
+    v2: jnp.ndarray
+    mask: jnp.ndarray
+    perm: jnp.ndarray
+    aabb_lo: jnp.ndarray
+    aabb_hi: jnp.ndarray
+
+    @property
+    def n_clusters(self) -> int:
+        return self.aabb_lo.shape[0]
+
+
+def build_clusters(v0, v1, v2, mask, cluster_size: int = CLUSTER_SIZE) -> ClusteredMesh:
+    """Host-side build: Morton sort + cluster AABBs. Inputs are the padded
+    scene arrays ([T, 3] x3 + mask); padding rows sort to dedicated
+    all-padding clusters (their AABBs are empty -> never hit)."""
+    v0n, v1n, v2n = (np.asarray(v) for v in (v0, v1, v2))
+    m = np.asarray(mask)
+    real = m > 0
+    cent = (v0n + v1n + v2n) / 3.0
+    lo = cent[real].min(axis=0) if real.any() else np.zeros(3)
+    hi = cent[real].max(axis=0) if real.any() else np.ones(3)
+    span = np.maximum(hi - lo, 1e-9)
+    codes = _morton3((cent - lo) / span)
+    codes = np.where(real, codes, np.uint32(0xFFFFFFFF))  # padding sorts last
+    order = np.argsort(codes, kind="stable").astype(np.int32)
+
+    T = v0n.shape[0]
+    tc = -(-T // cluster_size) * cluster_size
+    pad = tc - T
+    order_p = np.concatenate([order, np.zeros(pad, np.int32)])
+    take = lambda a: np.concatenate([a[order], np.zeros((pad,) + a.shape[1:], a.dtype)])
+    sv0, sv1, sv2 = take(v0n), take(v1n), take(v2n)
+    sm = np.concatenate([m[order], np.zeros(pad, m.dtype)])
+
+    C = tc // cluster_size
+    pts = np.stack([sv0, sv1, sv2], axis=1).reshape(C, cluster_size * 3, 3)
+    cm = sm.reshape(C, cluster_size)
+    wide = np.repeat(cm, 3, axis=1)[..., None]  # [C, 3*cs, 1]
+    big = np.float32(3e38)
+    lo_c = np.where(wide > 0, pts, big).min(axis=1)
+    hi_c = np.where(wide > 0, pts, -big).max(axis=1)
+    empty = (cm > 0).sum(axis=1) == 0
+    lo_c[empty] = 1.0  # empty boxes: lo > hi -> slab test always misses
+    hi_c[empty] = 0.0
+
+    return ClusteredMesh(
+        v0=jnp.asarray(sv0), v1=jnp.asarray(sv1), v2=jnp.asarray(sv2),
+        mask=jnp.asarray(sm), perm=jnp.asarray(order_p, jnp.float32),
+        aabb_lo=jnp.asarray(lo_c.astype(np.float32)),
+        aabb_hi=jnp.asarray(hi_c.astype(np.float32)),
+    )
+
+
+def ray_aabb_mask(o, d, lo, hi, *, t_clip: float = 0.0, allow_negative: bool = False):
+    """[R, C] bool — slab test: does ray (o, d) pass through each AABB?
+
+    Unnormalized directions are fine (t in ray-parameter units, matching
+    the rest of the tracer). `allow_negative` accepts boxes fully behind
+    the origin (needed for parity mode, where negative-t triangle hits are
+    accepted — SURVEY §2.9.10).
+    """
+    inv = 1.0 / jnp.where(jnp.abs(d) > 1e-30, d, 1e-30)  # [R, 3]
+    t0 = (lo[None, :, :] - o[:, None, :]) * inv[:, None, :]  # [R, C, 3]
+    t1 = (hi[None, :, :] - o[:, None, :]) * inv[:, None, :]
+    tmin = jnp.max(jnp.minimum(t0, t1), axis=2)  # [R, C]
+    tmax = jnp.min(jnp.maximum(t0, t1), axis=2)
+    hit = tmin <= tmax
+    if not allow_negative:
+        hit = hit & (tmax > t_clip)
+    return hit

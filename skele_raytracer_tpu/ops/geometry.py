@@ -58,6 +58,16 @@ def normalize(v, axis=-1):
 _safe_sqrt = _pos_sqrt
 
 
+def offset_origin(point, normal, sign=1.0):
+    """Secondary-ray origin offset along the normal, scaled with distance
+    from the world origin: float32 hit points carry ~|p| * 2^-23 error, so
+    a FIXED epsilon self-intersects far geometry (visible as shadow-acne
+    rings on large ground planes). Clean-mode paths only; parity keeps the
+    reference's scalar epsilon adds (src/utils.h:46,64; raytrace.h:128)."""
+    scale = CLEAN_T_EPS * (1.0 + norm(point, keepdims=True))
+    return point + sign * scale * normal
+
+
 class SphereHits(NamedTuple):
     t: jnp.ndarray  # [R] ray-parameter of nearest valid sphere hit (inf = none)
     index: jnp.ndarray  # [R] int32 index of that sphere
@@ -174,36 +184,75 @@ class Hits(NamedTuple):
     normal: jnp.ndarray  # [R, 3] (sphere normal; triangle geometric normal in clean mode)
 
 
-def intersect(o, d, scene, *, quirks: Quirks) -> Hits:
+def intersect(o, d, scene, *, quirks: Quirks, backend: str = "jnp") -> Hits:
     """Nearest hit over all scene primitives (the body of `shade`'s search,
     src/raytrace.h:146-187): spheres scanned first, then triangles, where a
-    triangle wins only with strictly smaller t."""
+    triangle wins only with strictly smaller t.
+
+    backend "pallas" routes the [rays, primitives] scans through the fused
+    TPU kernels in ops/pallas/intersect.py (forward-only; same semantics
+    to float tolerance). "jnp" is the differentiable reference path.
+    """
+    # Spheres always go through the jnp path: scene sphere counts are tiny
+    # (tens) and XLA's fusion of the [R, S] quadratic beats a pallas_call
+    # round trip (measured 1080p parity: jnp 0.25 s vs pallas 1.36 s).
+    # The Pallas kernels earn their keep on the triangle axis, where the
+    # [R, T] broadcast OOMs HBM at mesh scale and the MXU matmul
+    # formulation + cluster culling are the only viable route.
     sph = nearest_sphere(
         o, d, scene.spheres.center, scene.spheres.radius, scene.spheres.mask,
         quirks=quirks,
     )
-    tri = nearest_triangle(
-        o, d, scene.triangles.v0, scene.triangles.v1, scene.triangles.v2,
-        scene.triangles.mask, quirks=quirks,
-    )
-    tri_wins = tri.hit & (tri.t < jnp.where(sph.hit, sph.t, INF))
-    kind = jnp.where(tri_wins, 2, jnp.where(sph.hit, 1, 0)).astype(jnp.int32)
-    index = jnp.where(tri_wins, tri.index, sph.index)
-    t = jnp.where(tri_wins, tri.t, sph.t)
+    # The triangle scan is skipped statically for sphere-only scenes (the
+    # padded placeholder triangles could never hit, but the [R, T] work and
+    # its gradient cost are real).
+    if scene.has_triangles:
+        if backend == "pallas":
+            if scene.clusters is not None and scene.clusters.n_clusters > 4:
+                from skele_raytracer_tpu.ops.pallas import culled
+
+                t_t, t_idx, t_hit = culled.triangle_nearest_culled(
+                    o, d, scene.clusters, quirks=quirks
+                )
+                t_u = t_v = jnp.zeros_like(t_t)  # barycentrics unused downstream
+            else:
+                from skele_raytracer_tpu.ops.pallas import intersect as pk
+
+                t_t, t_idx, t_hit, t_u, t_v = pk.triangle_nearest(
+                    o, d, scene.triangles.v0, scene.triangles.v1,
+                    scene.triangles.v2, scene.triangles.mask, quirks=quirks,
+                )
+            tri = TriangleHits(t=t_t, index=t_idx, hit=t_hit, u=t_u, v=t_v)
+        else:
+            tri = nearest_triangle(
+                o, d, scene.triangles.v0, scene.triangles.v1, scene.triangles.v2,
+                scene.triangles.mask, quirks=quirks,
+            )
+        tri_wins = tri.hit & (tri.t < jnp.where(sph.hit, sph.t, INF))
+        kind = jnp.where(tri_wins, 2, jnp.where(sph.hit, 1, 0)).astype(jnp.int32)
+        index = jnp.where(tri_wins, tri.index, sph.index)
+        t = jnp.where(tri_wins, tri.t, sph.t)
+    else:
+        tri_wins = None
+        kind = jnp.where(sph.hit, 1, 0).astype(jnp.int32)
+        index = sph.index
+        t = sph.t
+
     t_safe = jnp.where(jnp.isfinite(t), t, 0.0)
     point = o + d * t_safe[:, None]
 
     # Sphere normal: normalize(point - center) (src/raytrace.h:199-201).
     c = scene.spheres.center[sph.index]
-    n_sphere = normalize(point - c)
-    # Triangle geometric normal (clean mode; parity shades triangles black
-    # so the normal is unused there): normalize(cross(e1, e2)), flipped to
-    # face the incoming ray.
-    e1 = (scene.triangles.v1 - scene.triangles.v0)[tri.index]
-    e2 = (scene.triangles.v2 - scene.triangles.v0)[tri.index]
-    n_tri = normalize(jnp.cross(e1, e2))
-    n_tri = n_tri * jnp.where(dot(n_tri, d)[:, None] > 0, -1.0, 1.0)
-    normal = jnp.where((kind == 2)[:, None], n_tri, n_sphere)
+    normal = normalize(point - c)
+    if scene.has_triangles:
+        # Triangle geometric normal (clean mode; parity shades triangles
+        # black so the normal is unused there): normalize(cross(e1, e2)),
+        # flipped to face the incoming ray.
+        e1 = (scene.triangles.v1 - scene.triangles.v0)[tri.index]
+        e2 = (scene.triangles.v2 - scene.triangles.v0)[tri.index]
+        n_tri = normalize(jnp.cross(e1, e2))
+        n_tri = n_tri * jnp.where(dot(n_tri, d)[:, None] > 0, -1.0, 1.0)
+        normal = jnp.where((kind == 2)[:, None], n_tri, normal)
     return Hits(kind=kind, index=index, t=t, point=point, normal=normal)
 
 

@@ -97,7 +97,9 @@ def _shadow_mask(x, normal, scene, cfg: RenderConfig, l_vec, light_dist=None):
     if quirks.scalar_epsilon_offset:
         origin = x[:, None, :] + SHADOW_ORIGIN_EPS
     else:
-        origin = x[:, None, :] + CLEAN_T_EPS * normal[:, None, :]
+        from skele_raytracer_tpu.ops.geometry import offset_origin
+
+        origin = offset_origin(x, normal)[:, None, :]
     origin = jnp.broadcast_to(origin, (R, L, 3)).reshape(R * L, 3)
     direction = normalize(l_vec).reshape(R * L, 3)
     t_clip = 1.0 if quirks.near_clip_t_le_1 else CLEAN_T_EPS
@@ -110,14 +112,31 @@ def _shadow_mask(x, normal, scene, cfg: RenderConfig, l_vec, light_dist=None):
     else:
         occ = jnp.any(jnp.isfinite(t_sph), axis=1)
     if not quirks.sphere_only_shadows and scene.has_triangles:
-        t_tri, ok, _, _ = ray_triangle_all(
-            origin, direction, scene.triangles.v0, scene.triangles.v1,
-            scene.triangles.v2, scene.triangles.mask, quirks=quirks,
-        )
-        if light_dist is not None and not quirks.near_clip_t_le_1:
-            occ = occ | jnp.any(ok & (t_tri < light_dist.reshape(R * L, 1)), axis=1)
+        if (
+            cfg.backend == "pallas"
+            and scene.clusters is not None
+            and scene.clusters.n_clusters > 4
+        ):
+            # Mesh-scale occlusion: the [R*L, T] broadcast below would OOM
+            # on dragon-sized meshes; the culled kernel streams clusters.
+            from skele_raytracer_tpu.ops.pallas import culled
+
+            t_tri_n, _, ok_any = culled.triangle_nearest_culled(
+                origin, direction, scene.clusters, quirks=quirks
+            )
+            if light_dist is not None and not quirks.near_clip_t_le_1:
+                occ = occ | (ok_any & (t_tri_n < light_dist.reshape(R * L)))
+            else:
+                occ = occ | ok_any
         else:
-            occ = occ | jnp.any(ok, axis=1)
+            t_tri, ok, _, _ = ray_triangle_all(
+                origin, direction, scene.triangles.v0, scene.triangles.v1,
+                scene.triangles.v2, scene.triangles.mask, quirks=quirks,
+            )
+            if light_dist is not None and not quirks.near_clip_t_le_1:
+                occ = occ | jnp.any(ok & (t_tri < light_dist.reshape(R * L, 1)), axis=1)
+            else:
+                occ = occ | jnp.any(ok, axis=1)
     return (~occ).reshape(R, L)
 
 
@@ -178,42 +197,48 @@ def direct_illumination(
     total = scene.ambient[None, :] * mat.ambient  # bp::ambient_shading (:13-17)
 
     # ---- point lights --------------------------------------------------
-    plights = scene.point_lights
-    l_vec = plights.position[None, :, :] - x[:, None, :]  # [R, L, 3]
-    d_l = norm(l_vec)  # [R, L]
-    l = l_vec / jnp.maximum(d_l, 1e-30)[:, :, None]
-    lmask = plights.mask[None, :]  # [1, L]
-    if cfg.use_shadows:
-        unshadowed = _shadow_mask(x, n, scene, cfg, l_vec, light_dist=d_l)
-    else:
-        unshadowed = jnp.ones_like(d_l, bool)
-    gate = lmask * unshadowed  # [R, L]
+    # With parity's zeroed fog, BOTH per-point-light terms are rerouted
+    # through a fog term that is identically zero (types.Scene.fog_zeroed),
+    # so the whole block — including its shadow rays — folds away.
+    # Directional lights are unaffected (no fog reroute in the reference's
+    # directional loops) but are dropped in parity mode anyway.
+    if not (scene.has_fog and scene.fog_zeroed):
+        plights = scene.point_lights
+        l_vec = plights.position[None, :, :] - x[:, None, :]  # [R, L, 3]
+        d_l = norm(l_vec)  # [R, L]
+        l = l_vec / jnp.maximum(d_l, 1e-30)[:, :, None]
+        lmask = plights.mask[None, :]  # [1, L]
+        if cfg.use_shadows:
+            unshadowed = _shadow_mask(x, n, scene, cfg, l_vec, light_dist=d_l)
+        else:
+            unshadowed = jnp.ones_like(d_l, bool)
+        gate = lmask * unshadowed  # [R, L]
 
-    intensity = 1.0 / jnp.maximum(d_l * d_l, 1e-30)  # 1/d^2 (:69-70)
-    ndotl = jnp.maximum(0.0, dot(n[:, None, :], l))
+        intensity = 1.0 / jnp.maximum(d_l * d_l, 1e-30)  # 1/d^2 (:69-70)
+        ndotl = jnp.maximum(0.0, dot(n[:, None, :], l))
 
-    if scene.has_fog:
-        fog_d = _fog_term(scene, mat, prim_center, l, x, n,
-                          plights.position, plights.colour, fog_u[..., 0])
-        fog_s = _fog_term(scene, mat, prim_center, l, x, n,
-                          plights.position, plights.colour, fog_u[..., 1])
-        diffuse_pt = fog_d
-        specular_pt = fog_s
-    else:
-        diffuse_pt = (
-            mat.diffuse[:, None, :] * plights.colour[None, :, :]
-            * (intensity * ndotl)[:, :, None]
-        )
-        view = normalize(scene.camera.position[None, :] - x)  # camera, not ray origin (:93)
-        h_raw = view[:, None, :] + l
-        h = h_raw / jnp.maximum(norm(h_raw, keepdims=True), 1e-30)
-        ndoth = jnp.maximum(0.0, dot(n[:, None, :], h))
-        spec_pow = jnp.power(jnp.maximum(ndoth, 1e-30), mat.power[:, None]) * (ndoth > 0)
-        specular_pt = (
-            mat.specular[:, None, :] * plights.colour[None, :, :]
-            * (intensity * spec_pow)[:, :, None]
-        )
-    total = total + jnp.sum((diffuse_pt + specular_pt) * gate[:, :, None], axis=1)
+        if scene.has_fog:
+            fog_d = _fog_term(scene, mat, prim_center, l, x, n,
+                              plights.position, plights.colour, fog_u[..., 0])
+            fog_s = _fog_term(scene, mat, prim_center, l, x, n,
+                              plights.position, plights.colour, fog_u[..., 1])
+            diffuse_pt = fog_d
+            specular_pt = fog_s
+        else:
+            diffuse_pt = (
+                mat.diffuse[:, None, :] * plights.colour[None, :, :]
+                * (intensity * ndotl)[:, :, None]
+            )
+            view = normalize(scene.camera.position[None, :] - x)  # camera, not ray origin (:93)
+            h_raw = view[:, None, :] + l
+            h = h_raw / jnp.maximum(norm(h_raw, keepdims=True), 1e-30)
+            ndoth = jnp.maximum(0.0, dot(n[:, None, :], h))
+            spec_pow = jnp.power(jnp.maximum(ndoth, 1e-30), mat.power[:, None]) * (ndoth > 0)
+            specular_pt = (
+                mat.specular[:, None, :] * plights.colour[None, :, :]
+                * (intensity * spec_pow)[:, :, None]
+            )
+        total = total + jnp.sum((diffuse_pt + specular_pt) * gate[:, :, None], axis=1)
 
     # ---- directional lights (src/blinn_phong.h:81-88,121-133) ----------
     # Skipped entirely (static) when none parsed — the reference's loops are

@@ -108,6 +108,7 @@ class ParsedScene:
             directional_lights=directional,
             ambient=self.ambient,
             fog=fog,
+            fog_zeroed=bool(self.fog) and quirks.fog_sscanf_mismatch,
             camera_position=self.camera_position,
             camera_direction=self.camera_direction,
             camera_up=self.camera_up,

@@ -150,6 +150,18 @@ class Scene:
     fog_active: bool = struct.field(pytree_node=False, default=False)
     triangles_active: bool = struct.field(pytree_node=False, default=False)
     directional_active: bool = struct.field(pytree_node=False, default=False)
+    # Parity's stand-in for the reference's uninitialized fog (SURVEY §2.9.6)
+    # is all-zero parameters, which makes the fog-rerouted diffuse+specular
+    # terms IDENTICALLY zero (exp(0)=1 -> never "interacts"; albedo=0 kills
+    # the other branch). This static flag lets shading fold that to zero
+    # instead of drawing fog randoms and computing a provably-zero term.
+    fog_zeroed: bool = struct.field(pytree_node=False, default=False)
+    # Morton-clustered copy of the triangles + cluster AABBs
+    # (ops/accel.ClusteredMesh), built once at scene construction for the
+    # culled Pallas intersection path. None when the scene has no
+    # triangles. Not a trainable view: gradients flow through the primary
+    # `triangles` arrays (the jnp backend); these are render-only data.
+    clusters: Optional[tuple] = None
 
     @property
     def has_fog(self) -> bool:
@@ -179,6 +191,7 @@ def make_scene(
     background=(0.0, 0.0, 0.0),
     pad_multiple: int = 8,
     dtype=jnp.float32,
+    fog_zeroed: bool = False,
 ) -> Scene:
     """Build a padded Scene pytree from Python-level records.
 
@@ -221,6 +234,14 @@ def make_scene(
     mat_fields = dict(ambient=3, diffuse=3, specular=3, transmissive=3, power=1, ior=1)
     sph = build(spheres, dict(center=3, radius=1, **mat_fields), ns)
     tri = build(triangles, dict(v0=3, v1=3, v2=3, **mat_fields), nt)
+
+    clusters = None
+    if triangles:
+        from skele_raytracer_tpu.ops import accel
+
+        clusters = accel.build_clusters(
+            tri["v0"], tri["v1"], tri["v2"], tri["mask"]
+        )
     pl = build(point_lights, dict(position=3, colour=3), nl)
     dl = build(directional_lights, dict(direction=3, colour=3), nd)
     fg = build(fog, dict(center=3, radius=1, albedo=3, scattering=1, absorption=1), nf)
@@ -242,4 +263,6 @@ def make_scene(
         fog_active=len(fog) > 0,
         triangles_active=len(triangles) > 0,
         directional_active=len(directional_lights) > 0,
+        fog_zeroed=fog_zeroed,
+        clusters=clusters,
     )

@@ -1,0 +1,110 @@
+"""Pallas intersection kernels vs the jnp reference path.
+
+Runs in interpreter mode on CPU (the kernels auto-interpret off-TPU), so
+the kernel LOGIC — the MXU matmul reformulation of the sphere quadratic
+and of Moller-Trumbore, tile streaming, running-min accumulation, tie
+order — is validated without TPU hardware.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from skele_raytracer_tpu.config import CLEAN, PARITY, RenderConfig
+from skele_raytracer_tpu.models.renderer import render_radiance
+from skele_raytracer_tpu.ops import geometry
+from skele_raytracer_tpu.ops.pallas import intersect as pk
+
+
+def _rand_rays(n, seed=0, radius=10.0):
+    rng = np.random.default_rng(seed)
+    o = rng.uniform(-radius, radius, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+def _rand_spheres(s, seed=1):
+    rng = np.random.default_rng(seed)
+    c = rng.uniform(-8, 8, (s, 3)).astype(np.float32)
+    r = rng.uniform(0.5, 3.0, (s,)).astype(np.float32)
+    m = np.ones((s,), np.float32)
+    m[-2:] = 0.0  # padded entries
+    return jnp.asarray(c), jnp.asarray(r), jnp.asarray(m)
+
+
+def _rand_triangles(t, seed=2, scale=6.0):
+    rng = np.random.default_rng(seed)
+    v0 = rng.uniform(-scale, scale, (t, 3)).astype(np.float32)
+    v1 = v0 + rng.normal(size=(t, 3)).astype(np.float32) * 2
+    v2 = v0 + rng.normal(size=(t, 3)).astype(np.float32) * 2
+    m = np.ones((t,), np.float32)
+    m[-3:] = 0.0
+    return jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2), jnp.asarray(m)
+
+
+@pytest.mark.parametrize("quirks", [PARITY, CLEAN], ids=["parity", "clean"])
+def test_sphere_kernel_matches_jnp(quirks):
+    o, d = _rand_rays(1500)  # crosses the TILE_R boundary (padding path)
+    c, r, m = _rand_spheres(24)
+    ref = geometry.nearest_sphere(o, d, c, r, m, quirks=quirks)
+    t, idx, hit = pk.sphere_nearest(o, d, c, r, m, quirks=quirks)
+    np.testing.assert_array_equal(np.asarray(hit), np.asarray(ref.hit))
+    np.testing.assert_array_equal(
+        np.asarray(idx)[np.asarray(hit)], np.asarray(ref.index)[np.asarray(ref.hit)]
+    )
+    np.testing.assert_allclose(
+        np.asarray(t)[np.asarray(hit)],
+        np.asarray(ref.t)[np.asarray(ref.hit)],
+        rtol=2e-5, atol=1e-5,
+    )
+
+
+@pytest.mark.parametrize("quirks", [PARITY, CLEAN], ids=["parity", "clean"])
+def test_triangle_kernel_matches_jnp(quirks):
+    o, d = _rand_rays(1200, seed=5)
+    v0, v1, v2, m = _rand_triangles(700)  # crosses a TILE_T boundary... via tile_t=512
+    ref = geometry.nearest_triangle(o, d, v0, v1, v2, m, quirks=quirks)
+    t, idx, hit, u, v = pk.triangle_nearest(o, d, v0, v1, v2, m, quirks=quirks)
+    hit_np, rhit = np.asarray(hit), np.asarray(ref.hit)
+    # The matmul reformulation changes rounding; a borderline hit may flip.
+    agree = hit_np == rhit
+    assert agree.mean() > 0.995, f"hit masks differ on {(~agree).sum()} rays"
+    both = hit_np & rhit & agree
+    np.testing.assert_array_equal(np.asarray(idx)[both], np.asarray(ref.index)[both])
+    np.testing.assert_allclose(
+        np.asarray(t)[both], np.asarray(ref.t)[both], rtol=1e-3, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(u)[both], np.asarray(ref.u)[both], rtol=1e-3, atol=1e-3
+    )
+
+
+def test_triangle_tile_streaming_first_wins():
+    # Two identical triangles in different tiles: the FIRST index must win,
+    # mirroring the reference's strict-< scan.
+    tri = np.array([[-5, -1, 4], [5, -1, 4], [0, 5, 4]], np.float32)
+    v0 = jnp.asarray(np.tile(tri[0], (600, 1)))
+    v1 = jnp.asarray(np.tile(tri[1], (600, 1)))
+    v2 = jnp.asarray(np.tile(tri[2], (600, 1)))
+    m = jnp.ones((600,))
+    o = jnp.zeros((4, 3))
+    d = jnp.asarray(np.tile(np.array([[0, 0, 1]], np.float32), (4, 1)))
+    t, idx, hit, _, _ = pk.triangle_nearest(o, d, v0, v1, v2, m, quirks=CLEAN)
+    assert bool(hit.all())
+    np.testing.assert_array_equal(np.asarray(idx), 0)
+    np.testing.assert_allclose(np.asarray(t), 4.0, rtol=1e-5)
+
+
+def test_pallas_backend_renders_same_image(parsed_test_scene):
+    scene = parsed_test_scene.to_scene()
+    base = RenderConfig(
+        width=32, height=24, use_shadows=True, monte_carlo=True,
+        num_paths=2, max_depth=2, rays_per_chunk=1 << 10,
+    )
+    img_jnp = np.asarray(render_radiance(scene, base, jnp.uint32(4)))
+    img_pl = np.asarray(
+        render_radiance(scene, base.replace(backend="pallas"), jnp.uint32(4))
+    )
+    close = np.isclose(img_jnp, img_pl, rtol=1e-4, atol=1e-4)
+    assert close.mean() > 0.995, f"{(~close).sum()} px differ"
