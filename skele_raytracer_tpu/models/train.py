@@ -56,6 +56,24 @@ def full_loss(scene, cfg: RenderConfig, key, target):
     return jnp.mean(err * err)
 
 
+def make_trainable_mask(scene, paths):
+    """0/1 pytree selecting which scene leaves train; `paths` are dotted
+    leaf-path prefixes (e.g. "spheres.diffuse", "point_lights").
+
+    Restricting the trainable set is standard differentiable-rendering
+    practice: silhouette gradients are biased (hit selection is
+    stop-gradient'ed), so letting geometry/camera drift while fitting
+    materials destabilizes the loss.
+    """
+
+    def mask_leaf(path, leaf):
+        name = jax.tree_util.keystr(path)[1:].replace("'", "").replace("]", "").replace("[", ".")
+        keep = any(name.startswith(p) for p in paths)
+        return jnp.full_like(leaf, 1.0 if keep else 0.0)
+
+    return jax.tree_util.tree_map_with_path(mask_leaf, scene)
+
+
 def train_step(
     state: TrainState,
     cfg: RenderConfig,
@@ -63,9 +81,11 @@ def train_step(
     key,
     target,
     mesh=None,
+    trainable=None,
 ):
     """One optimization step. With a mesh: rays sharded, grads psum'd
-    (parallel/api.py); without: single-device value_and_grad.
+    (parallel/api.py); without: single-device value_and_grad. `trainable`
+    (make_trainable_mask) zeroes gradients outside the chosen leaves.
 
     Jit this with cfg/tx/mesh static: the whole step — forward render,
     backward, all-reduce, adam update — is one XLA program.
@@ -77,6 +97,8 @@ def train_step(
         loss, grads = loss_and_grad_sharded(state.scene, cfg, key, target, mesh)
     else:
         loss, grads = jax.value_and_grad(full_loss)(state.scene, cfg, key, target)
+    if trainable is not None:
+        grads = jax.tree_util.tree_map(lambda g, m: g * m, grads, trainable)
     updates, opt_state = tx.update(grads, state.opt_state, state.scene)
     scene = optax.apply_updates(state.scene, updates)
     # Structural flags are not pytree leaves; optax passes them through.
@@ -92,18 +114,26 @@ def fit(
     learning_rate: float = 1e-2,
     seed: int = 0,
     mesh=None,
+    trainable_paths=None,
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 50,
     log_every: int = 10,
 ):
     """Optimize scene parameters to match `target`; returns (scene, losses).
 
+    trainable_paths: dotted leaf-path prefixes restricting which leaves
+    move (make_trainable_mask); None trains everything.
     Resumes from `checkpoint_dir` if it holds a previous run's state
     (SURVEY.md §5 checkpoint/resume: the reference has none; long
     optimizations here restart from the last saved step).
     """
     tx = make_optimizer(learning_rate)
     state = init_state(scene, tx)
+    trainable = (
+        make_trainable_mask(scene, tuple(trainable_paths))
+        if trainable_paths
+        else None
+    )
     start = 0
     if checkpoint_dir is not None:
         from skele_raytracer_tpu.utils import checkpoint as ckpt
@@ -117,10 +147,10 @@ def fit(
         partial(train_step, cfg=cfg, tx=tx, mesh=mesh),
         static_argnames=(),
     )
-    key = jax.random.key(seed)
+    key = jnp.uint32(seed)
     losses = []
     for i in range(start, steps):
-        state, loss = step_fn(state, key=key, target=target)
+        state, loss = step_fn(state, key=key, target=target, trainable=trainable)
         losses.append(float(loss))
         if log_every and (i % log_every == 0 or i == steps - 1):
             print(f"step {i}: loss {losses[-1]:.6e}")
