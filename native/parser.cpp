@@ -21,6 +21,7 @@
 //  * missing/invalid fields read as 0.0 (deterministic stand-in for the
 //    reference's uninitialized-sscanf-output UB)
 
+#include <algorithm>
 #include <cctype>
 #include <cstdio>
 #include <cstdlib>
@@ -317,6 +318,34 @@ std::string to_json(const Parsed& p) {
 }  // namespace
 
 extern "C" {
+
+// Binary P6 PPM writer with the reference's quantization (min(1, v) * 255
+// per channel, reference src/main.cpp:88-101). `data` is [h*w*3] float32
+// radiance. Returns 0 on success. The native path quantizes + streams the
+// 6 MB 1080p raster without a Python-side uint8 copy.
+int skt_write_ppm(const char* path, int w, int h, const float* data) {
+  std::FILE* f = std::fopen(path, "wb");
+  if (!f) return 1;
+  std::fprintf(f, "P6\n%d %d\n255\n", w, h);
+  const size_t n = (size_t)w * h * 3;
+  std::vector<unsigned char> row(n < 4096 ? n : 4096);
+  size_t i = 0;
+  while (i < n) {
+    size_t chunk = std::min(row.size(), n - i);
+    for (size_t j = 0; j < chunk; ++j) {
+      float v = data[i + j];
+      if (v < 0.0f) v = 0.0f;
+      if (v > 1.0f) v = 1.0f;
+      row[j] = (unsigned char)(v * 255.0f);
+    }
+    if (std::fwrite(row.data(), 1, chunk, f) != chunk) {
+      std::fclose(f);
+      return 2;
+    }
+    i += chunk;
+  }
+  return std::fclose(f) == 0 ? 0 : 3;
+}
 
 char* skt_parse_scene_json(const char* path) {
   std::ifstream in(path);

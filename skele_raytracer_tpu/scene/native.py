@@ -47,6 +47,11 @@ def _load():
         lib.skt_parse_scene_json.argtypes = [ctypes.c_char_p]
         lib.skt_free.restype = None
         lib.skt_free.argtypes = [ctypes.c_void_p]
+        lib.skt_write_ppm.restype = ctypes.c_int
+        lib.skt_write_ppm.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float),
+        ]
         _LIB = lib
     except OSError as e:  # pragma: no cover
         log.debug("could not load native parser: %s", e)
@@ -115,3 +120,22 @@ def parse_scene_native(path: str) -> Optional["ParsedScene"]:
                  scattering=f["scattering"], absorption=f["absorption"])
         )
     return scene
+
+
+def write_ppm_native(path: str, img) -> bool:
+    """Write float [H, W, 3] radiance as binary P6 via the C++ writer
+    (reference quantization: min(1, v) * 255). Returns False if the
+    native library is unavailable (caller falls back to Python)."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        return False
+    a = np.ascontiguousarray(np.asarray(img, dtype=np.float32))
+    h, w, _ = a.shape
+    code = lib.skt_write_ppm(
+        path.encode(), w, h, a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    )
+    if code != 0:
+        raise OSError(f"native PPM write failed with code {code}: {path}")
+    return True

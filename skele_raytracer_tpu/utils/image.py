@@ -23,7 +23,18 @@ def quantize(img, parity: bool = False) -> np.ndarray:
 
 def write_ppm(path: str, img, parity: bool = False) -> None:
     """Binary P6 PPM, identical header/body layout to the reference writer
-    (src/main.cpp:88-101)."""
+    (src/main.cpp:88-101). Uses the native C++ writer when available
+    (scene/native.py; the reference's writer is native too), falling back
+    to the pure-Python path (which alone supports parity's no-lower-clamp
+    byte semantics)."""
+    if not parity:
+        try:
+            from skele_raytracer_tpu.scene import native
+
+            if native.write_ppm_native(path, img):
+                return
+        except Exception:
+            pass
     q = quantize(img, parity=parity)
     h, w, _ = q.shape
     with open(path, "wb") as f:

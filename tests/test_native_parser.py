@@ -79,3 +79,22 @@ def test_native_matches_python(path):
 def test_native_missing_file():
     with pytest.raises(FileNotFoundError):
         native.parse_scene_native("/nonexistent/nope.scn")
+
+
+def test_native_ppm_writer_matches_python(tmp_path):
+    import numpy as np
+
+    from skele_raytracer_tpu.utils import image
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(-0.1, 1.4, (13, 17, 3)).astype(np.float32)
+    py_path, nat_path = str(tmp_path / "py.ppm"), str(tmp_path / "nat.ppm")
+    # Python reference path
+    q = image.quantize(img)
+    with open(py_path, "wb") as f:
+        f.write(f"P6\n17 13\n255\n".encode())
+        f.write(q.tobytes())
+    assert native.write_ppm_native(nat_path, img)
+    assert open(py_path, "rb").read() == open(nat_path, "rb").read()
+    back = image.read_ppm(nat_path)
+    np.testing.assert_array_equal(back, q)
