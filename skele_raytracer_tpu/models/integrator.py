@@ -34,20 +34,14 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from skele_raytracer_tpu.config import (
-    CLEAN_T_EPS,
-    INDIRECT_ORIGIN_EPS,
-    RenderConfig,
-)
+from skele_raytracer_tpu.config import INDIRECT_ORIGIN_EPS, RenderConfig
 from skele_raytracer_tpu.ops import sampling
 from skele_raytracer_tpu.ops.geometry import intersect, normalize, offset_origin
 from skele_raytracer_tpu.ops.shading import (
     direct_illumination,
     fresnel,
     gather_material,
-    reflect_direction,
     refraction,
-    gather_material as _gather,
 )
 
 _PI = jnp.pi

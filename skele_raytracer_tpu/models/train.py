@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import optax
 
 from skele_raytracer_tpu.config import RenderConfig
-from skele_raytracer_tpu.models.renderer import render_ids_chunked, render_radiance
+from skele_raytracer_tpu.models.renderer import render_ids_chunked
 from skele_raytracer_tpu.parallel.api import loss_and_grad_sharded
 
 

@@ -124,14 +124,62 @@ def _culled_kernel(
     jax.lax.fori_loop(0, n_active, body, 0)
 
 
-def triangle_nearest_culled(o, d, mesh: accel.ClusteredMesh, *, quirks: Quirks):
+def _spatial_sort_keys(o, d, lo, hi):
+    """uint32 sort key per ray: 24-bit Morton code of the origin
+    (quantized to the mesh bounds) + 3-bit direction octant. Sorting rays
+    by this key groups spatially/directionally similar rays into the same
+    kernel tile, shrinking per-tile cluster shortlists — the classic
+    wavefront ray-reordering trick, done as one dense argsort."""
+    span = jnp.maximum(hi - lo, 1e-9)
+    q = jnp.clip((o - lo) / span * 255.0, 0.0, 255.0).astype(jnp.uint32)
+
+    def spread8(v):  # 8 bits -> every 3rd bit of 24
+        v = (v | (v << np.uint32(8))) & np.uint32(0x00F00F)
+        v = (v | (v << np.uint32(4))) & np.uint32(0x0C30C3)
+        v = (v | (v << np.uint32(2))) & np.uint32(0x249249)
+        return v
+
+    morton = (
+        (spread8(q[:, 0]) << np.uint32(2))
+        | (spread8(q[:, 1]) << np.uint32(1))
+        | spread8(q[:, 2])
+    )
+    octant = (
+        (d[:, 0] > 0).astype(jnp.uint32) * 4
+        + (d[:, 1] > 0).astype(jnp.uint32) * 2
+        + (d[:, 2] > 0).astype(jnp.uint32)
+    )
+    return (morton << np.uint32(3)) | octant
+
+
+def triangle_nearest_culled(
+    o, d, mesh: accel.ClusteredMesh, *, quirks: Quirks, reorder: bool = True
+):
     """(t [R], original_index [R] int32, hit [R] bool) — nearest triangle
     via cluster culling. Semantics match the brute-force kernels to float
     tolerance; parity's negative-t acceptance forces `allow_negative` AABB
-    tests (boxes behind the origin still count, SURVEY §2.9.10)."""
+    tests (boxes behind the origin still count, SURVEY §2.9.10).
+
+    reorder: spatially sort rays before tiling (_spatial_sort_keys) and
+    scatter results back — per-ray results are order-independent, so the
+    output is identical; only the per-tile shortlists (and therefore the
+    work skipped) change. Costs one argsort + two gathers; pays off
+    whenever the ray batch is incoherent (MC bounce rays, shadow rays).
+    """
+    R = o.shape[0]
+    if reorder:
+        keys = _spatial_sort_keys(o, d, mesh.aabb_lo.min(0), mesh.aabb_hi.max(0))
+        order_r = jnp.argsort(keys).astype(jnp.int32)
+        out = triangle_nearest_culled(
+            o[order_r], d[order_r], mesh, quirks=quirks, reorder=False
+        )
+        inv = jnp.zeros((R,), jnp.int32).at[order_r].set(
+            jnp.arange(R, dtype=jnp.int32)
+        )
+        return tuple(x[inv] for x in out)
+
     sign = 1.0 if quirks.reference_triangle_test else -1.0
     t_clip = None if quirks.reference_triangle_test else CLEAN_T_EPS
-    R = o.shape[0]
     cs = accel.CLUSTER_SIZE
     C = mesh.n_clusters
     rp = -(-R // TILE_R) * TILE_R

@@ -98,3 +98,15 @@ def test_dragon_scene_builds_clusters():
     assert scene.clusters is not None
     assert scene.clusters.n_clusters >= 10002 // accel.CLUSTER_SIZE
     assert len(parsed.triangles) == 10002
+
+
+def test_culled_reorder_invariance():
+    v0, v1, v2, m = _mesh(t=600, seed=11)
+    mesh = accel.build_clusters(v0, v1, v2, m)
+    rng = np.random.default_rng(8)
+    o = jnp.asarray(rng.uniform(-12, 12, (900, 3)).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(900, 3)).astype(np.float32))
+    a = culled.triangle_nearest_culled(o, d, mesh, quirks=CLEAN, reorder=False)
+    b = culled.triangle_nearest_culled(o, d, mesh, quirks=CLEAN, reorder=True)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
