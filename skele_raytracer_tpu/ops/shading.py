@@ -91,53 +91,67 @@ def _shadow_mask(x, normal, scene, cfg: RenderConfig, l_vec, light_dist=None):
     sphere with t > 1.0 (no max-t bound — occluders beyond the light still
     occlude). Clean mode offsets along the normal, bounds point-light
     occluders by the light distance, and lets triangles occlude too.
+
+    Implementation iterates the (tiny, static) light axis in Python
+    instead of flattening to [R*L, 3]: [N, 3] arrays tile terribly on TPU
+    (the 3-wide trailing dim pads to 128 lanes), and the broadcast +
+    reshape round trip was measured at ~40% of the clean-mode frame as
+    unfused 42x-padded data-formatting ops.
     """
     quirks = cfg.quirks
     R, L = l_vec.shape[0], l_vec.shape[1]
     if quirks.scalar_epsilon_offset:
-        origin = x[:, None, :] + SHADOW_ORIGIN_EPS
+        origin = x + SHADOW_ORIGIN_EPS
     else:
         from skele_raytracer_tpu.ops.geometry import offset_origin
 
-        origin = offset_origin(x, normal)[:, None, :]
-    origin = jnp.broadcast_to(origin, (R, L, 3)).reshape(R * L, 3)
-    direction = normalize(l_vec).reshape(R * L, 3)
+        origin = offset_origin(x, normal)
     t_clip = 1.0 if quirks.near_clip_t_le_1 else CLEAN_T_EPS
-    t_sph = ray_sphere_all(
-        origin, direction, scene.spheres.center, scene.spheres.radius,
-        scene.spheres.mask, t_clip=t_clip,
-    )  # [R*L, S]
-    if light_dist is not None and not quirks.near_clip_t_le_1:
-        occ = jnp.any(t_sph < light_dist.reshape(R * L, 1), axis=1)
-    else:
-        occ = jnp.any(jnp.isfinite(t_sph), axis=1)
-    if not quirks.sphere_only_shadows and scene.has_triangles:
-        if (
-            cfg.backend == "pallas"
-            and scene.clusters is not None
-            and scene.clusters.n_clusters > 4
-        ):
-            # Mesh-scale occlusion: the [R*L, T] broadcast below would OOM
-            # on dragon-sized meshes; the culled kernel streams clusters.
-            from skele_raytracer_tpu.ops.pallas import culled
+    bound = light_dist is not None and not quirks.near_clip_t_le_1
 
-            t_tri_n, _, ok_any = culled.triangle_nearest_culled(
-                origin, direction, scene.clusters, quirks=quirks
-            )
-            if light_dist is not None and not quirks.near_clip_t_le_1:
-                occ = occ | (ok_any & (t_tri_n < light_dist.reshape(R * L)))
-            else:
-                occ = occ | ok_any
+    use_culled = (
+        not quirks.sphere_only_shadows
+        and scene.has_triangles
+        and cfg.backend == "pallas"
+        and scene.clusters is not None
+        and scene.clusters.n_clusters > 4
+    )
+
+    cols = []
+    for l in range(L):
+        direction = normalize(l_vec[:, l, :])
+        t_sph = ray_sphere_all(
+            origin, direction, scene.spheres.center, scene.spheres.radius,
+            scene.spheres.mask, t_clip=t_clip,
+        )  # [R, S]
+        if bound:
+            occ = jnp.any(t_sph < light_dist[:, l, None], axis=1)
         else:
-            t_tri, ok, _, _ = ray_triangle_all(
-                origin, direction, scene.triangles.v0, scene.triangles.v1,
-                scene.triangles.v2, scene.triangles.mask, quirks=quirks,
-            )
-            if light_dist is not None and not quirks.near_clip_t_le_1:
-                occ = occ | jnp.any(ok & (t_tri < light_dist.reshape(R * L, 1)), axis=1)
+            occ = jnp.any(jnp.isfinite(t_sph), axis=1)
+        if not quirks.sphere_only_shadows and scene.has_triangles:
+            if use_culled:
+                # Mesh-scale occlusion: the [R, T] broadcast would OOM on
+                # dragon-sized meshes; the culled kernel streams clusters.
+                from skele_raytracer_tpu.ops.pallas import culled
+
+                t_tri_n, _, ok_any = culled.triangle_nearest_culled(
+                    origin, direction, scene.clusters, quirks=quirks
+                )
+                if bound:
+                    occ = occ | (ok_any & (t_tri_n < light_dist[:, l]))
+                else:
+                    occ = occ | ok_any
             else:
-                occ = occ | jnp.any(ok, axis=1)
-    return (~occ).reshape(R, L)
+                t_tri, ok, _, _ = ray_triangle_all(
+                    origin, direction, scene.triangles.v0, scene.triangles.v1,
+                    scene.triangles.v2, scene.triangles.mask, quirks=quirks,
+                )
+                if bound:
+                    occ = occ | jnp.any(ok & (t_tri < light_dist[:, l, None]), axis=1)
+                else:
+                    occ = occ | jnp.any(ok, axis=1)
+        cols.append(~occ)
+    return jnp.stack(cols, axis=1)  # [R, L]
 
 
 def _fog_term(scene, mat, prim_center, l, x, n, light_pos, light_col, fog_u):
