@@ -73,9 +73,17 @@ def _shade_hit(scene, cfg: RenderConfig, key, o, d, ids, bounce):
     hits = hits._replace(kind=kind, index=index)
 
     mat = gather_material(scene, kind, index, quirks=quirks)
-    prim_center = scene.spheres.center[index]
-    if not quirks.triangles_shade_black:
-        prim_center = jnp.where((kind == 2)[:, None], hits.point, prim_center)
+    # prim_center only feeds the fog distance term — skip the (scatter-
+    # producing) gather entirely when fog shading is inactive.
+    if scene.has_fog and not scene.fog_zeroed:
+        from skele_raytracer_tpu.ops.geometry import one_hot_rows
+
+        oh = one_hot_rows(index, scene.spheres.mask.shape[0])
+        prim_center = oh @ scene.spheres.center
+        if not quirks.triangles_shade_black:
+            prim_center = jnp.where((kind == 2)[:, None], hits.point, prim_center)
+    else:
+        prim_center = hits.point  # unused downstream
 
     fog_u = _fog_uniforms(scene, cfg, key, ids, bounce)
     direct = direct_illumination(

@@ -57,6 +57,21 @@ def normalize(v, axis=-1):
 _safe_sqrt = _pos_sqrt
 
 
+def one_hot_rows(index, n, valid=None):
+    """[R, n] float32 one-hot of `index` (optionally gated by `valid`).
+
+    Row gathers from small tables go through `one_hot @ table` instead of
+    `table[index]`: identical values, but the gradient wrt the table is
+    `one_hot.T @ g` (an MXU matmul) instead of a serial scatter-add —
+    measured at >50% of the whole backward pass before this change.
+    """
+    cols = jnp.arange(n, dtype=index.dtype)[None, :]
+    oh = (index[:, None] == cols).astype(jnp.float32)
+    if valid is not None:
+        oh = oh * valid.astype(jnp.float32)[:, None]
+    return oh
+
+
 def offset_origin(point, normal, sign=1.0):
     """Secondary-ray origin offset along the normal, scaled with distance
     from the world origin: float32 hit points carry ~|p| * 2^-23 error, so
@@ -241,7 +256,10 @@ def intersect(o, d, scene, *, quirks: Quirks, backend: str = "jnp") -> Hits:
     point = o + d * t_safe[:, None]
 
     # Sphere normal: normalize(point - center) (src/raytrace.h:199-201).
-    c = scene.spheres.center[sph.index]
+    # One-hot matmul instead of a gather: the gather's backward is a
+    # serial scatter-add (see one_hot_rows).
+    oh = one_hot_rows(sph.index, scene.spheres.mask.shape[0])
+    c = oh @ scene.spheres.center
     normal = normalize(point - c)
     if scene.has_triangles:
         # Triangle geometric normal (clean mode; parity shades triangles

@@ -41,6 +41,7 @@ from skele_raytracer_tpu.ops.geometry import (
     dot,
     norm,
     normalize,
+    one_hot_rows,
     ray_sphere_all,
     ray_triangle_all,
 )
@@ -57,30 +58,45 @@ class GatheredMaterial(NamedTuple):
     ior: jnp.ndarray  # [R]
 
 
-def gather_material(scene, kind, index, *, quirks: Quirks) -> GatheredMaterial:
-    """Material at each hit. Parity mode only ever shades spheres (triangles
-    return black before touching materials, src/raytrace.h:221-224), so it
-    gathers from the sphere table unconditionally; clean mode selects the
-    triangle table for kind==2."""
-    sph, tri = scene.spheres, scene.triangles
-
-    def pick(field):
-        s = getattr(sph, field)[index]
-        if quirks.triangles_shade_black:
-            return s
-        t = getattr(tri, field)[jnp.minimum(index, tri.mask.shape[0] - 1)]
-        cond = (kind == 2)
-        cond = cond[:, None] if s.ndim == 2 else cond
-        return jnp.where(cond, t, s)
-
-    return GatheredMaterial(
-        ambient=pick("ambient"),
-        diffuse=pick("diffuse"),
-        specular=pick("specular"),
-        transmissive=pick("transmissive"),
-        power=pick("power"),
-        ior=pick("ior"),
+def _pack_material(table):
+    """[N, 14] column-packed material table:
+    ambient(3) diffuse(3) specular(3) transmissive(3) power(1) ior(1)."""
+    return jnp.concatenate(
+        [
+            table.ambient, table.diffuse, table.specular, table.transmissive,
+            table.power[:, None], table.ior[:, None],
+        ],
+        axis=1,
     )
+
+
+def _unpack_material(vals) -> GatheredMaterial:
+    return GatheredMaterial(
+        ambient=vals[:, 0:3],
+        diffuse=vals[:, 3:6],
+        specular=vals[:, 6:9],
+        transmissive=vals[:, 9:12],
+        power=vals[:, 12],
+        ior=vals[:, 13],
+    )
+
+
+def gather_material(scene, kind, index, *, quirks: Quirks) -> GatheredMaterial:
+    """Material at each hit, as ONE one-hot matmul per primitive table
+    (see one_hot_rows). Parity mode only ever shades spheres (triangles
+    return black before touching materials, src/raytrace.h:221-224), so it
+    reads the sphere table unconditionally; clean mode adds the triangle
+    table gated by kind==2."""
+    sph, tri = scene.spheres, scene.triangles
+    S = sph.mask.shape[0]
+    if quirks.triangles_shade_black:
+        oh = one_hot_rows(index, S)
+        return _unpack_material(oh @ _pack_material(sph))
+    T = tri.mask.shape[0]
+    oh_s = one_hot_rows(index, S, valid=kind != 2)
+    oh_t = one_hot_rows(jnp.minimum(index, T - 1), T, valid=kind == 2)
+    vals = oh_s @ _pack_material(sph) + oh_t @ _pack_material(tri)
+    return _unpack_material(vals)
 
 
 def _shadow_mask(x, normal, scene, cfg: RenderConfig, l_vec, light_dist=None):
