@@ -180,8 +180,8 @@ def triangle_nearest_culled(
 
     sign = 1.0 if quirks.reference_triangle_test else -1.0
     t_clip = None if quirks.reference_triangle_test else CLEAN_T_EPS
-    cs = accel.CLUSTER_SIZE
     C = mesh.n_clusters
+    cs = mesh.v0.shape[0] // C  # cluster size baked into the mesh build
     rp = -(-R // TILE_R) * TILE_R
     n_tiles = rp // TILE_R
 

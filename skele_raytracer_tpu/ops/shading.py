@@ -81,21 +81,38 @@ def _unpack_material(vals) -> GatheredMaterial:
     )
 
 
+# Above this row count, a one-hot [R, N] matrix costs more than the
+# scatter it avoids (dragon's 10k-triangle table would be GBs per chunk);
+# fall back to a plain gather there.
+_ONE_HOT_MAX_ROWS = 512
+
+
+def _select_rows(table, index, valid=None):
+    """table[index] via one-hot matmul for small tables, plain gather for
+    large ones (see one_hot_rows for why)."""
+    n = table.shape[0]
+    if n <= _ONE_HOT_MAX_ROWS:
+        out = one_hot_rows(index, n, valid=valid) @ table
+    else:
+        out = table[jnp.minimum(index, n - 1)]
+        if valid is not None:
+            out = out * valid.astype(out.dtype)[:, None]
+    return out
+
+
 def gather_material(scene, kind, index, *, quirks: Quirks) -> GatheredMaterial:
-    """Material at each hit, as ONE one-hot matmul per primitive table
-    (see one_hot_rows). Parity mode only ever shades spheres (triangles
-    return black before touching materials, src/raytrace.h:221-224), so it
-    reads the sphere table unconditionally; clean mode adds the triangle
-    table gated by kind==2."""
+    """Material at each hit, as ONE row-select per primitive table
+    (one-hot matmul for small tables, gather for mesh-scale ones).
+    Parity mode only ever shades spheres (triangles return black before
+    touching materials, src/raytrace.h:221-224), so it reads the sphere
+    table unconditionally; clean mode adds the triangle table gated by
+    kind==2."""
     sph, tri = scene.spheres, scene.triangles
-    S = sph.mask.shape[0]
     if quirks.triangles_shade_black:
-        oh = one_hot_rows(index, S)
-        return _unpack_material(oh @ _pack_material(sph))
-    T = tri.mask.shape[0]
-    oh_s = one_hot_rows(index, S, valid=kind != 2)
-    oh_t = one_hot_rows(jnp.minimum(index, T - 1), T, valid=kind == 2)
-    vals = oh_s @ _pack_material(sph) + oh_t @ _pack_material(tri)
+        return _unpack_material(_select_rows(_pack_material(sph), index))
+    vals = _select_rows(_pack_material(sph), index, valid=kind != 2) + _select_rows(
+        _pack_material(tri), index, valid=kind == 2
+    )
     return _unpack_material(vals)
 
 
