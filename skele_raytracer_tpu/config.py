@@ -102,7 +102,6 @@ class RenderConfig:
     # Hot-path backend: "jnp" (pure JAX, XLA-fused) or "pallas" (fused
     # megakernel). "auto" picks pallas on TPU when the config supports it.
     backend: str = "jnp"
-    dtype: str = "float32"
 
     @property
     def samples_per_pixel(self) -> int:
