@@ -30,9 +30,21 @@ from skele_raytracer_tpu.ops.camera import rays_for_ids
 
 
 def _chunk_samples(cfg: RenderConfig) -> int:
-    """Samples per chunk such that the expanded path frontier
-    (samples * num_paths) stays near cfg.rays_per_chunk."""
-    per = max(1, cfg.rays_per_chunk // max(cfg.paths_per_sample, 1))
+    """Samples per chunk such that the expanded in-flight ray set stays
+    near cfg.rays_per_chunk.
+
+    Monte-Carlo expands each sample into num_paths linear continuations;
+    the clean-mode Whitted frontier DOUBLES per depth level (reflection +
+    refraction children, models/integrator.py integrate_whitted), so deep
+    non-MC traces must shrink the chunk or the frontier blows HBM.
+    """
+    if cfg.monte_carlo:
+        fan = max(cfg.paths_per_sample, 1)
+    elif cfg.quirks.disable_reflections:
+        fan = 1
+    else:
+        fan = 2 ** min(max(cfg.max_depth - 1, 0), 12)
+    per = max(1, cfg.rays_per_chunk // fan)
     return max(128, min(per, cfg.height * cfg.width * cfg.samples_per_pixel))
 
 

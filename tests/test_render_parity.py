@@ -86,3 +86,19 @@ def test_deterministic_without_sampling(parsed_test_scene):
     a = np.asarray(render(scene, cfg, seed=0))
     b = np.asarray(render(scene, cfg, seed=99))
     np.testing.assert_array_equal(a, b)
+
+
+def test_deep_whitted_chunk_scaling(parsed_test_scene):
+    """Clean-mode Whitted frontier doubles per depth level; the chunker
+    must shrink samples-per-chunk so deep traces stay in memory, without
+    changing the image."""
+    from skele_raytracer_tpu.config import CLEAN
+    from skele_raytracer_tpu.models import renderer
+
+    scene = parsed_test_scene.to_scene(CLEAN)
+    cfg = _cfg(max_depth=6, quirks=CLEAN, rays_per_chunk=1 << 12)
+    assert renderer._chunk_samples(cfg) <= (1 << 12) // 32
+    img_a = np.asarray(render(scene, cfg, seed=1))
+    img_b = np.asarray(render(scene, cfg.replace(rays_per_chunk=1 << 14), seed=1))
+    np.testing.assert_allclose(img_a, img_b, rtol=0, atol=1e-5)
+    assert np.isfinite(img_a).all()
