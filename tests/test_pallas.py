@@ -96,6 +96,24 @@ def test_triangle_tile_streaming_first_wins():
     np.testing.assert_allclose(np.asarray(t), 4.0, rtol=1e-5)
 
 
+def test_pallas_backend_under_shard_map(parsed_test_scene):
+    """backend='pallas' inside render_sharded (shard_map needs
+    check_vma=False for pallas_call outputs) must match the unsharded
+    render."""
+    from skele_raytracer_tpu.config import CLEAN
+    from skele_raytracer_tpu.models.renderer import render
+    from skele_raytracer_tpu.parallel.api import render_sharded
+
+    scene = parsed_test_scene.to_scene(CLEAN)
+    cfg = RenderConfig(
+        width=24, height=16, use_shadows=True, max_depth=2, quirks=CLEAN,
+        rays_per_chunk=1 << 9, backend="pallas",
+    )
+    a = np.asarray(render(scene, cfg, seed=2))
+    b = np.asarray(render_sharded(scene, cfg, seed=2))
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-5)
+
+
 def test_pallas_backend_renders_same_image(parsed_test_scene):
     scene = parsed_test_scene.to_scene()
     base = RenderConfig(
