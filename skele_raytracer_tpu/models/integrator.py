@@ -228,7 +228,11 @@ def integrate_whitted(scene, cfg: RenderConfig, key, o, d, sample_ids):
         frontier_o = jnp.concatenate([o_child, o_refr], axis=0)
         frontier_d = jnp.concatenate([refl_d, refr_d], axis=0)
         weight = jnp.concatenate([refl_w, refr_w], axis=0)
-        ids = jnp.concatenate([ids, ids], axis=0)
+        # Distinct RNG stream per frontier branch: reflection children get
+        # id*2, refraction children id*2+1 (injective per depth since ids
+        # are dense), so siblings never share fog/sampling draws — the
+        # reference's per-call rand() would not correlate them either.
+        ids = jnp.concatenate([ids * 2, ids * 2 + 1], axis=0)
 
     return total
 

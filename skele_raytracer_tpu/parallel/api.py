@@ -91,11 +91,15 @@ def render_radiance_sharded(scene, cfg: RenderConfig, key, mesh: Mesh):
     # Scene and key ride through shard_map as explicit replicated operands:
     # closing over them would capture whatever sharding their buffers carry
     # from earlier steps, which is invalid inside the Manual mesh context.
+    # check_vma=False: pallas_call outputs carry no varying-mesh-axis
+    # metadata, so the default VMA check rejects the Pallas backend inside
+    # shard_map (same setting as loss_and_grad_sharded below).
     fn = shard_map(
         lambda s, k, i: render_ids_chunked(s, cfg, k, i),
         mesh=mesh,
         in_specs=(P(), P(), P(("tiles", "samples"))),
         out_specs=P(("tiles", "samples")),
+        check_vma=False,
     )
     radiance = fn(scene, key, ids)[:n_total]
     return radiance.reshape(H, W, spp, 3).mean(axis=2)

@@ -81,9 +81,21 @@ max_depth 5
 """
 
 
+# TEST_SCN plus a spherical fog volume with parameters chosen so BOTH fog
+# branches fire (p_no_interaction = exp(-dist * (absorption + scattering))
+# lands mid-range at this scene's light distances): value-level fog
+# verification needs real, nonzero parameters (VERDICT missing #3).
+TEST_SCN_FOG = TEST_SCN + "\nspherical_fog 0 0 0 60 .9 .8 .7 .02 .01\n"
+
+
 @pytest.fixture(scope="session")
 def parsed_test_scene():
     return parse_scene_text(TEST_SCN)
+
+
+@pytest.fixture(scope="session")
+def parsed_fog_scene():
+    return parse_scene_text(TEST_SCN_FOG)
 
 
 @pytest.fixture(scope="session")

@@ -322,6 +322,253 @@ def render_oracle(parsed, cfg, seed=0):
     return img
 
 
+# ---------------------------------------------------------------------------
+# CLEAN-mode Whitted oracle
+# ---------------------------------------------------------------------------
+# Serial re-implementation of the CLEAN semantics the JAX integrator
+# documents (models/integrator.py integrate_whitted): the reference's DEAD
+# reflection/refraction code (src/raytrace.h:46-103) realized as view-ray
+# Whitted tracing, with lit triangles, triangle shadows, normal-offset
+# origins, stratified jitter, normalized primary dirs, t > CLEAN_T_EPS
+# clips, and per-branch RNG streams (reflection child id*2, refraction
+# child id*2+1). Used by tests/test_render_parity.py's clean cases.
+
+from skele_raytracer_tpu.config import CLEAN_T_EPS  # noqa: E402
+
+
+def _sphere_t_clean(o, d, center, radius):
+    t = _smallest_root_t(o, d, center, radius)
+    return t if (t != INF and t > CLEAN_T_EPS) else INF
+
+
+def _triangle_t_clean(o, d, v0, v1, v2):
+    """Standard Möller-Trumbore with t > CLEAN_T_EPS (ops/geometry.py
+    ray_triangle_all, clean branch)."""
+    e1, e2 = v1 - v0, v2 - v0
+    p = np.cross(d, e2)
+    det = float(np.dot(e1, p))
+    if abs(det) < 1e-5:
+        return None
+    inv = 1.0 / det
+    tvec = o - v0
+    u = float(np.dot(tvec, p)) * inv
+    if u < 0 or u > 1:
+        return None
+    q = np.cross(tvec, e1)
+    v = float(np.dot(d, q)) * inv
+    if v < 0 or u + v > 1:
+        return None
+    t = float(np.dot(e2, q)) * inv
+    return t if t > CLEAN_T_EPS else None
+
+
+def _nearest_hit_clean(parsed, o, d):
+    min_t, kind, idx = INF, "miss", None
+    for i, s in enumerate(parsed.spheres):
+        t = _sphere_t_clean(o, d, np.array(s["center"], np.float64), s["radius"])
+        if t < min_t:
+            min_t, kind, idx = t, "sphere", i
+    for i, tri in enumerate(parsed.triangles):
+        t = _triangle_t_clean(
+            o, d, np.array(tri["v0"]), np.array(tri["v1"]), np.array(tri["v2"])
+        )
+        # triangle wins only with strictly smaller t (src/raytrace.h:176-186)
+        if t is not None and t < min_t:
+            min_t, kind, idx = t, "triangle", i
+    return kind, idx, min_t
+
+
+def _offset_origin(point, normal, sign=1.0):
+    """ops/geometry.offset_origin: epsilon scaled with |point|."""
+    scale = CLEAN_T_EPS * (1.0 + _norm(point))
+    return point + sign * scale * normal
+
+
+def _shadowed_clean(parsed, point, normal, light_dir_unnorm, max_dist=None):
+    """Clean shadow query (ops/shading._shadow_mask, quirks off): origin
+    offset along the normal, t > CLEAN_T_EPS, point lights bounded by the
+    light distance, spheres AND triangles occlude."""
+    o = _offset_origin(point, normal)
+    d = _normalize(light_dir_unnorm)
+    for s in parsed.spheres:
+        t = _sphere_t_clean(o, d, np.array(s["center"], np.float64), s["radius"])
+        if t != INF and (max_dist is None or t < max_dist):
+            return True
+    for tri in parsed.triangles:
+        t = _triangle_t_clean(
+            o, d, np.array(tri["v0"]), np.array(tri["v1"]), np.array(tri["v2"])
+        )
+        if t is not None and (max_dist is None or t < max_dist):
+            return True
+    return False
+
+
+def _direct_clean(parsed, cfg, x, n, mat, prim_center, cam_pos, fog_u):
+    """Clean direct illumination: same bp:: terms, clean shadow query,
+    directional lights kept, fog reroute honored with REAL parameters."""
+    total = np.array(parsed.ambient) * mat["ambient"]
+    has_fog = len(parsed.fog) > 0
+    view = _normalize(cam_pos - x)
+
+    for li, light in enumerate(parsed.point_lights):
+        lp = np.array(light["position"], np.float64)
+        lcol = np.array(light["colour"], np.float64)
+        lvec = lp - x
+        dist = _norm(lvec)
+        if cfg.use_shadows and _shadowed_clean(parsed, x, n, lvec, max_dist=dist):
+            continue
+        l = _normalize(lvec)
+        if has_fog:
+            total += _fog_term(parsed, mat, prim_center, l, x, n, lp, lcol,
+                               fog_u[li, :, :, 0], len(parsed.fog))
+            total += _fog_term(parsed, mat, prim_center, l, x, n, lp, lcol,
+                               fog_u[li, :, :, 1], len(parsed.fog))
+        else:
+            intensity = 1.0 / max(dist * dist, 1e-30)
+            ndotl = max(0.0, float(np.dot(n, l)))
+            total += mat["diffuse"] * lcol * intensity * ndotl
+            h = view + l
+            hn = _norm(h)
+            h = h / hn if hn > 0 else h * 0.0
+            ndoth = max(0.0, float(np.dot(n, h)))
+            spec = ndoth ** mat["power"] if ndoth > 0 else 0.0
+            total += mat["specular"] * lcol * intensity * spec
+    for light in parsed.directional_lights:
+        ld = _normalize(np.array(light["direction"], np.float64))
+        lcol = np.array(light["colour"], np.float64)
+        if cfg.use_shadows and _shadowed_clean(parsed, x, n, ld):
+            continue
+        total += mat["diffuse"] * lcol * max(0.0, float(np.dot(n, ld)))
+        h = view + ld
+        hn = _norm(h)
+        h = h / hn if hn > 0 else h * 0.0
+        ndoth = max(0.0, float(np.dot(n, h)))
+        spec = ndoth ** mat["power"] if ndoth > 0 else 0.0
+        total += mat["specular"] * lcol * spec
+    return total
+
+
+def _fresnel_ref(d, n, ior):
+    """bp::fresnel with the reference's Rp denominator (ops/shading.fresnel,
+    src/blinn_phong.h:156-184 — kept bug-for-bug even in clean mode)."""
+    cosi = float(np.clip(np.dot(d, n), -1.0, 1.0))
+    et = ior if cosi > 0 else 1.0
+    io = 1.0 if cosi > 0 else ior
+    sint = et / (io if io != 0 else 1.0) * math.sqrt(max(1.0 - cosi * cosi, 0.0))
+    if sint >= 1.0:
+        return 1.0
+    cost = math.sqrt(max(1.0 - sint * sint, 0.0))
+    cosi = abs(cosi)
+    denom = io * cosi + et * cost
+    denom = denom if abs(denom) > 1e-30 else 1e-30
+    rs = (io * cosi - et * cost) / denom
+    rp = (et * cosi - io * cost) / denom
+    return (rs * rs + rp * rp) / 2.0
+
+
+def _refraction_ref(d, n, ior):
+    """bp::refraction (src/blinn_phong.h:143-153): zero vector on TIR."""
+    dn = float(np.dot(d, n))
+    k = 1.0 - ior * ior * (1.0 - dn * dn)
+    if k < 0:
+        return np.zeros(3)
+    return ior * d - (ior * dn + math.sqrt(k)) * n
+
+
+def _hit_record_clean(parsed, o, d):
+    """(kind, material dict, x, n, prim_center) or None on miss."""
+    kind, idx, t = _nearest_hit_clean(parsed, o, d)
+    if kind == "miss":
+        return None
+    x = o + d * t
+    if kind == "sphere":
+        s = parsed.spheres[idx]
+        center = np.array(s["center"], np.float64)
+        n = _normalize(x - center)
+        rec = s
+    else:
+        tri = parsed.triangles[idx]
+        e1 = np.array(tri["v1"]) - np.array(tri["v0"])
+        e2 = np.array(tri["v2"]) - np.array(tri["v0"])
+        n = _normalize(np.cross(e1, e2))
+        if float(np.dot(n, d)) > 0:
+            n = -n
+        center = x  # fog distance term uses the hit point for triangles
+        rec = tri
+    mat = {k: np.array(rec[k]) if isinstance(rec[k], (tuple, list)) else rec[k]
+           for k in ("ambient", "diffuse", "specular", "power", "ior")}
+    return mat, x, n, center
+
+
+def _whitted(parsed, cfg, base_key, o, d, sid, depth, weight, cam_pos):
+    """One frontier node of the clean Whitted trace: local contribution +
+    recursion into reflection (stream sid*2) and refraction (sid*2+1)."""
+    rec = _hit_record_clean(parsed, o, d)
+    if rec is None:
+        return weight * np.array(parsed.background)
+    mat, x, n, prim_center = rec
+    fog_u = _fog_uniforms(parsed, base_key, np.uint32(sid), depth)
+    direct = _direct_clean(parsed, cfg, x, n, mat, prim_center, cam_pos, fog_u)
+    L = weight * direct
+    if depth == cfg.max_depth - 1:
+        return L
+    d_hat = _normalize(d)
+    if not np.any(mat["specular"] != 0.0):
+        return L
+    fr = _fresnel_ref(d_hat, n, mat["ior"])
+    refl_d = d_hat - 2.0 * float(np.dot(d_hat, n)) * n
+    refl_w = weight * mat["specular"] * (1.0 - fr)
+    L += _whitted(parsed, cfg, base_key, _offset_origin(x, n), refl_d,
+                  (sid * 2) & 0xFFFFFFFF, depth + 1, refl_w, cam_pos)
+    refr_d = _refraction_ref(d_hat, n, mat["ior"])
+    if fr < 1.0 and float(np.dot(refr_d, refr_d)) > 0:
+        refr_w = weight * fr
+        L += _whitted(parsed, cfg, base_key, _offset_origin(x, n, sign=-1.0),
+                      refr_d, (sid * 2 + 1) & 0xFFFFFFFF, depth + 1,
+                      refr_w, cam_pos)
+    return L
+
+
+def render_oracle_clean(parsed, cfg, seed=0):
+    """Render [H, W, 3] float64 with the CLEAN semantics (quirks all off,
+    non-MC Whitted). `parsed` is used as-is: directional lights kept, fog
+    parameters real."""
+    base_key = np.uint32(seed)
+    H, W = cfg.height, cfg.width
+    spp = cfg.samples_per_pixel
+    cam_pos = np.array(parsed.camera_position, np.float64)
+    cam_dir = np.array(parsed.camera_direction, np.float64)
+    cam_up = np.array(parsed.camera_up, np.float64)
+    right = np.cross(-cam_dir, cam_up)
+    inv_w, inv_h = 1.0 / W, 1.0 / H
+    aspect = W / float(H)
+    angle = math.tan(math.pi * 0.5 * cfg.fov / 180.0)
+    g = cfg.grid_size
+
+    img = np.zeros((H, W, 3))
+    for y in range(H):
+        for x in range(W):
+            pixel = y * W + x
+            acc = np.zeros(3)
+            for s in range(spp):
+                sid = pixel * spp + s
+                if g > 0:
+                    # stratified: sample s covers cell (s // g, s % g)
+                    ci, cj = s // g, s % g
+                    r2 = _uniform(base_key, sid, 0, sampling.PURPOSE_JITTER, (2,))
+                    jx = (cj + float(r2[0])) / g
+                    jy = (ci + float(r2[1])) / g
+                else:
+                    jx = jy = 0.5
+                u = (2.0 * ((x + jx) * inv_w) - 1.0) * angle * aspect
+                v = (1.0 - 2.0 * ((y + jy) * inv_h)) * angle
+                d = _normalize(cam_dir + u * right + v * cam_up)
+                acc += _whitted(parsed, cfg, base_key, cam_pos.copy(), d,
+                                sid, 0, np.ones(3), cam_pos)
+            img[y, x] = acc / spp
+    return img
+
+
 def oracle_parity_view(parsed):
     """Apply the parity parse-time quirks (directional drop §2.9.5, fog
     zeroing stand-in §2.9.6) to a ParsedScene copy for the oracle."""

@@ -49,6 +49,81 @@ def test_parity_vs_oracle(parsed_test_scene, name, overrides):
     assert_images_close(got, expected, atol=5e-4, rtol=5e-4, what=name)
 
 
+# ---------------------------------------------------------------------------
+# Fog with REAL parameters (reference spherical_fog_shading,
+# src/blinn_phong.h:19-44 + scattering_phase_function src/utils.h:216-224)
+# ---------------------------------------------------------------------------
+
+FOG_CASES = [
+    ("fog_parity_plain", dict(max_depth=1)),
+    ("fog_parity_mc", dict(max_depth=2, monte_carlo=True, num_paths=2)),
+]
+
+
+@pytest.mark.parametrize("name,overrides", FOG_CASES, ids=[c[0] for c in FOG_CASES])
+def test_fog_parity_vs_oracle(parsed_fog_scene, name, overrides):
+    """Parity mode with a spherical_fog line: the sscanf-mismatch quirk
+    zeroes the parameters, and the reroute must still KILL the point-light
+    diffuse+specular terms (src/blinn_phong.h:56-66,104-110)."""
+    cfg = _cfg(**overrides)
+    parity_view = oracle_parity_view(parsed_fog_scene)
+    expected = render_oracle(parity_view, cfg, seed=5)
+    got = render(parsed_fog_scene.to_scene(PARITY), cfg, seed=5)
+    assert_images_close(got, expected, atol=5e-4, rtol=5e-4, what=name)
+
+
+def test_fog_parity_reroute_kills_point_lights(parsed_test_scene, parsed_fog_scene):
+    """Same scene ± the fog line, parity mode: the zeroed-fog reroute must
+    CHANGE the image (diffuse+specular vanish; ambient+background remain)."""
+    cfg = _cfg(max_depth=1, use_shadows=True)
+    no_fog = np.asarray(render(parsed_test_scene.to_scene(PARITY), cfg, seed=2))
+    fog = np.asarray(render(parsed_fog_scene.to_scene(PARITY), cfg, seed=2))
+    assert not np.allclose(no_fog, fog)
+    # On the fogged render every sphere pixel is ambient-only: fog <= no_fog
+    # everywhere (removing non-negative diffuse/specular cannot brighten).
+    assert (fog <= no_fog + 1e-6).all()
+
+
+def test_fog_clean_vs_oracle(parsed_fog_scene):
+    """CLEAN mode renders fog with the REAL parsed parameters through the
+    Whitted integrator; value-level check vs the serial oracle (both fog
+    branches fire at these parameters — conftest.TEST_SCN_FOG)."""
+    from oracle import render_oracle_clean
+    from skele_raytracer_tpu.config import CLEAN
+
+    cfg = _cfg(max_depth=2, quirks=CLEAN, use_shadows=True)
+    expected = render_oracle_clean(parsed_fog_scene, cfg, seed=11)
+    got = render(parsed_fog_scene.to_scene(CLEAN), cfg, seed=11)
+    # Verify the scene exercises BOTH fog branches (interaction and
+    # phase-function) — otherwise this test wouldn't cover the subsystem.
+    assert expected.std() > 0
+    assert_images_close(got, expected, atol=1e-3, rtol=1e-3, what="fog_clean")
+
+
+# ---------------------------------------------------------------------------
+# CLEAN-mode Whitted parity vs the serial oracle (the reference's dead
+# reflection/refraction code, src/raytrace.h:46-103, realized for real)
+# ---------------------------------------------------------------------------
+
+CLEAN_CASES = [
+    ("clean_whitted_depth3_shadows", dict(max_depth=3, use_shadows=True)),
+    ("clean_whitted_depth4", dict(max_depth=4)),
+    ("clean_tri_shadows_jsample2", dict(max_depth=2, use_shadows=True,
+                                        grid_size=2)),
+]
+
+
+@pytest.mark.parametrize("name,overrides", CLEAN_CASES, ids=[c[0] for c in CLEAN_CASES])
+def test_clean_vs_oracle(parsed_test_scene, name, overrides):
+    from oracle import render_oracle_clean
+    from skele_raytracer_tpu.config import CLEAN
+
+    cfg = _cfg(quirks=CLEAN, **overrides)
+    expected = render_oracle_clean(parsed_test_scene, cfg, seed=7)
+    got = render(parsed_test_scene.to_scene(CLEAN), cfg, seed=7)
+    assert_images_close(got, expected, atol=1e-3, rtol=1e-3, what=name)
+
+
 def test_parity_spheres1(parsed_spheres1):
     """Real reference scene (scenes/spheres1.scn), BP + shadows."""
     cfg = _cfg(width=32, height=24, max_depth=1, use_shadows=True)
