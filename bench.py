@@ -67,6 +67,39 @@ def _time(fn, *args, iters=3):
     return best
 
 
+def _bench_dragon():
+    """Triangle-mesh configs (scenes/dragon.scn, 10,002 triangles) through
+    the cluster-culled Pallas kernels — the capability the reference serves
+    with a brute-force per-ray scan (src/raytrace.h:170-187; no reference
+    timings exist for dragon, so no vs_baseline here). 640x480 matches the
+    reference's actually-shipped --parallel resolution (src/main.cpp:21-24).
+    """
+    from skele_raytracer_tpu.config import CLEAN
+
+    parsed = parse_scene("scenes/dragon.scn")
+    out = []
+    for name, quirks, mc in (
+        ("dragon 640x480 parity shadows depth2", None, False),
+        ("dragon 640x480 clean shadows depth2", CLEAN, False),
+        ("dragon 640x480 clean shadows gillum16 depth2", CLEAN, True),
+    ):
+        cfg = RenderConfig(
+            width=640, height=480, max_depth=2, use_shadows=True,
+            monte_carlo=mc, num_paths=16 if mc else 1,
+            backend="pallas", rays_per_chunk=1 << 17,
+            **({"quirks": quirks} if quirks else {}),
+        )
+        scene = parsed.to_scene(cfg.quirks)
+        fwd = jax.jit(lambda s, k, c=cfg: render_radiance(s, c, k))
+        t = _time(fwd, scene, jnp.uint32(0))
+        rays = 640 * 480 * (1 + (16 if mc else 0))
+        out.append(
+            {"config": name, "s_per_frame": round(t, 4),
+             "rays_per_sec": round(rays / t)}
+        )
+    return out
+
+
 def main() -> None:
     scene = parse_scene("scenes/spheres2.scn").to_scene()
     cfg = RenderConfig(
@@ -87,6 +120,8 @@ def main() -> None:
     fwdbwd = jax.jit(jax.grad(lambda s, k: full_loss(s, cfg, k, target)))
     t_fwdbwd = _time(fwdbwd, scene, key)
 
+    dragon = _bench_dragon()
+
     rays_fwd = RAYS_PER_FRAME / t_fwd
     rays_fwdbwd = RAYS_PER_FRAME / t_fwdbwd
     print(
@@ -99,6 +134,7 @@ def main() -> None:
                 "fwd_s_per_frame": round(t_fwd, 4),
                 "fwdbwd_s_per_frame": round(t_fwdbwd, 4),
                 "fwdbwd_rays_per_sec": round(rays_fwdbwd),
+                "configs": dragon,
                 "device": str(jax.devices()[0]),
             }
         )
