@@ -35,6 +35,22 @@ def _band_ids(cfg: RenderConfig, y0: int, y1: int):
     return jnp.arange(start, stop, dtype=jnp.uint32)
 
 
+def _run_fingerprint(scene, cfg: RenderConfig, seed: int) -> str:
+    """Digest of (scene contents, config, seed): a stale resume state from
+    a DIFFERENT run must not be merged into this frame (its completed
+    bands would silently carry the other run's pixels)."""
+    import hashlib
+
+    import jax
+
+    h = hashlib.sha256()
+    h.update(repr(cfg).encode())
+    h.update(str(int(seed)).encode())
+    for leaf in jax.tree_util.tree_leaves(scene):
+        h.update(np.asarray(leaf).tobytes())
+    return h.hexdigest()
+
+
 def render_progressive(
     scene,
     cfg: RenderConfig,
@@ -58,14 +74,23 @@ def render_progressive(
     frame = np.zeros((H, W, 3), np.float32)
     start_band = 0
 
+    fingerprint = _run_fingerprint(scene, cfg, seed)
     if state_path and os.path.exists(state_path):
         saved = np.load(state_path)
-        if saved["frame"].shape == frame.shape and int(saved["spp"]) == spp:
+        saved_fp = str(saved["fingerprint"]) if "fingerprint" in saved else ""
+        if (
+            saved["frame"].shape == frame.shape
+            and int(saved["spp"]) == spp
+            and saved_fp == fingerprint
+        ):
             frame = saved["frame"]
             start_band = int(saved["next_band"])
             log.info("resuming render at band %d/%d", start_band, n_bands)
         else:
-            log.warning("state %s does not match this config; restarting", state_path)
+            log.warning(
+                "state %s is from a different scene/config/seed; restarting",
+                state_path,
+            )
 
     seed_arr = jnp.uint32(seed)
     for b in range(start_band, n_bands):
@@ -90,7 +115,10 @@ def render_progressive(
 
         if state_path:
             tmp = state_path + ".tmp.npz"  # .npz suffix: savez won't rename
-            np.savez(tmp, frame=frame, next_band=b + 1, spp=spp)
+            np.savez(
+                tmp, frame=frame, next_band=b + 1, spp=spp,
+                fingerprint=fingerprint,
+            )
             os.replace(tmp, state_path)
         if preview_cb is not None:
             preview_cb(frame, y1)

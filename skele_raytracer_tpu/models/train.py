@@ -147,10 +147,24 @@ def fit(
         partial(train_step, cfg=cfg, tx=tx, mesh=mesh),
         static_argnames=(),
     )
+    # Geometry training invalidates the Morton-clustered render copy
+    # (scene/types.refresh_clusters). With the culled Pallas backend the
+    # FORWARD passes read clusters, so they must be rebuilt every step the
+    # triangles can move; with the jnp backend only the final scene needs
+    # a refresh so a later culled render sees the fitted geometry.
+    tri_moves = scene.triangles_active and (
+        trainable_paths is None
+        or any(p.startswith("triangles") for p in trainable_paths)
+    )
+    refresh_each_step = tri_moves and cfg.backend == "pallas"
+    from skele_raytracer_tpu.scene.types import refresh_clusters
+
     key = jnp.uint32(seed)
     losses = []
     for i in range(start, steps):
         state, loss = step_fn(state, key=key, target=target, trainable=trainable)
+        if refresh_each_step:
+            state = state._replace(scene=refresh_clusters(state.scene))
         losses.append(float(loss))
         if log_every and (i % log_every == 0 or i == steps - 1):
             print(f"step {i}: loss {losses[-1]:.6e}")
@@ -158,4 +172,7 @@ def fit(
             ckpt.save(checkpoint_dir, state)
     if checkpoint_dir is not None and start < steps:
         ckpt.save(checkpoint_dir, state)
-    return state.scene, losses
+    scene_out = state.scene
+    if tri_moves and not refresh_each_step:
+        scene_out = refresh_clusters(scene_out)
+    return scene_out, losses

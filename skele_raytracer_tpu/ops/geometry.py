@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from skele_raytracer_tpu.config import CLEAN_T_EPS, TRIANGLE_DET_EPS, Quirks
@@ -184,6 +185,30 @@ def nearest_triangle(o, d, v0, v1, v2, mask, *, quirks: Quirks) -> TriangleHits:
     return TriangleHits(t=t, index=idx, hit=hit, u=u, v=v)
 
 
+def replay_triangle_t(o, d, tris, index):
+    """Differentiable t of each ray against its SELECTED triangle — [R]
+    work, not [R, T].
+
+    The Pallas kernels decide the hit structure forward-only (which
+    triangle wins); this re-derives the winning t from (o, d,
+    triangle[index]) so gradients flow to rays and vertices WITHOUT
+    re-running (or differentiating) the full scan: the backward pass
+    reuses the forward's intersection structure and recomputes only the
+    continuous quantity. Same Möller-Trumbore t as ray_triangle_all
+    (src/utils.h:181-213) restricted to one triangle per ray.
+    """
+    idx = jnp.minimum(index, tris.v0.shape[0] - 1)
+    v0, v1, v2 = tris.v0[idx], tris.v1[idx], tris.v2[idx]
+    e1 = v1 - v0
+    e2 = v2 - v0
+    p = jnp.cross(d, e2)
+    det = dot(e1, p)
+    ok = jnp.abs(det) >= TRIANGLE_DET_EPS
+    inv = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+    q = jnp.cross(o - v0, e1)
+    return dot(e2, q) * inv
+
+
 class Hits(NamedTuple):
     """Combined nearest-hit record for a ray batch.
 
@@ -222,30 +247,42 @@ def intersect(o, d, scene, *, quirks: Quirks, backend: str = "jnp") -> Hits:
     # its gradient cost are real).
     if scene.has_triangles:
         if backend == "pallas":
+            # The kernels are forward-only: feed them gradient-free inputs
+            # (no tangents ever reach pallas_call) and re-derive the
+            # continuous t differentiably from the discrete hit structure
+            # they return (replay_triangle_t). Selection below still uses
+            # the kernel's own t so the winner is exactly the kernel's.
+            sg = jax.lax.stop_gradient
+            o_k, d_k = sg(o), sg(d)
             if scene.clusters is not None and scene.clusters.n_clusters > 4:
                 from skele_raytracer_tpu.ops.pallas import culled
 
                 t_t, t_idx, t_hit = culled.triangle_nearest_culled(
-                    o, d, scene.clusters, quirks=quirks
+                    o_k, d_k, sg(scene.clusters), quirks=quirks
                 )
-                t_u = t_v = jnp.zeros_like(t_t)  # barycentrics unused downstream
             else:
                 from skele_raytracer_tpu.ops.pallas import intersect as pk
 
-                t_t, t_idx, t_hit, t_u, t_v = pk.triangle_nearest(
-                    o, d, scene.triangles.v0, scene.triangles.v1,
-                    scene.triangles.v2, scene.triangles.mask, quirks=quirks,
+                t_t, t_idx, t_hit, _, _ = pk.triangle_nearest(
+                    o_k, d_k, sg(scene.triangles.v0), sg(scene.triangles.v1),
+                    sg(scene.triangles.v2), sg(scene.triangles.mask),
+                    quirks=quirks,
                 )
+            t_u = t_v = jnp.zeros_like(t_t)  # barycentrics unused downstream
             tri = TriangleHits(t=t_t, index=t_idx, hit=t_hit, u=t_u, v=t_v)
+            tri_t_diff = jnp.where(
+                t_hit, replay_triangle_t(o, d, scene.triangles, t_idx), INF
+            )
         else:
             tri = nearest_triangle(
                 o, d, scene.triangles.v0, scene.triangles.v1, scene.triangles.v2,
                 scene.triangles.mask, quirks=quirks,
             )
+            tri_t_diff = tri.t
         tri_wins = tri.hit & (tri.t < jnp.where(sph.hit, sph.t, INF))
         kind = jnp.where(tri_wins, 2, jnp.where(sph.hit, 1, 0)).astype(jnp.int32)
         index = jnp.where(tri_wins, tri.index, sph.index)
-        t = jnp.where(tri_wins, tri.t, sph.t)
+        t = jnp.where(tri_wins, tri_t_diff, sph.t)
     else:
         tri_wins = None
         kind = jnp.where(sph.hit, 1, 0).astype(jnp.int32)

@@ -29,7 +29,7 @@ from skele_raytracer_tpu.config import CLEAN_T_EPS, TRIANGLE_DET_EPS, Quirks
 from skele_raytracer_tpu.ops import accel
 from skele_raytracer_tpu.ops.pallas.intersect import (
     _BIG,
-    _first_min,
+    _BIG_I,
     _interpret,
     _pad_rows,
     pack_triangles,
@@ -47,13 +47,13 @@ def _culled_kernel(
     f_ref,  # [TILE_R, 9]
     # HBM inputs (manual DMA)
     kc_ref,  # [C, 9, 4, cs]
-    aux_ref,  # [C, 2, cs]  (row 0 = k offsets, row 1 = mask)
+    aux_ref,  # [C, 3, cs]  (row 0 = k offsets, row 1 = mask, row 2 = orig index)
     # outputs
     t_ref,  # [TILE_R, 1]
-    idx_ref,  # [TILE_R, 1]
+    idx_ref,  # [TILE_R, 1]  ORIGINAL triangle index of the winner
     # scratch
     kbuf,  # [2, 9, 4, cs]
-    abuf,  # [2, 2, cs]
+    abuf,  # [2, 3, cs]
     sems,  # DMA sems [2, 2]
     *,
     sign,
@@ -65,7 +65,7 @@ def _culled_kernel(
     feats = f_ref[:]
 
     t_ref[:, 0] = jnp.full((feats.shape[0],), _BIG, jnp.float32)
-    idx_ref[:, 0] = jnp.zeros((feats.shape[0],), jnp.int32)
+    idx_ref[:, 0] = jnp.full((feats.shape[0],), _BIG_I, jnp.int32)
 
     def dma(slot, pos):
         ci = shortlist_ref[i, pos]
@@ -113,12 +113,21 @@ def _culled_kernel(
             valid = valid & (t > t_clip)
         t_all = jnp.where(valid, t, _BIG)
 
-        t_blk, a_blk = _first_min(t_all, cs)
-        ci = shortlist_ref[i, p]
-        idx_blk = a_blk + ci * cs
-        better = t_blk < t_ref[:, 0]
+        # Exact-t ties resolve to the MINIMUM ORIGINAL index — the
+        # reference's strict-< scan keeps the first triangle in file order
+        # (src/raytrace.h:176-186), which Morton reordering would otherwise
+        # permute. abuf row 2 carries each sorted row's original index.
+        t_blk = jnp.min(t_all, axis=1)
+        is_min = t_all == t_blk[:, None]
+        orig_f = abuf[slot, 2, :][None, :]  # [1, cs] original indices (f32)
+        orig_blk = jnp.min(
+            jnp.where(is_min, orig_f, jnp.float32(_BIG_I)), axis=1
+        ).astype(jnp.int32)
+        better = (t_blk < t_ref[:, 0]) | (
+            (t_blk == t_ref[:, 0]) & (orig_blk < idx_ref[:, 0])
+        )
         t_ref[:, 0] = jnp.where(better, t_blk, t_ref[:, 0])
-        idx_ref[:, 0] = jnp.where(better, idx_blk, idx_ref[:, 0])
+        idx_ref[:, 0] = jnp.where(better, orig_blk, idx_ref[:, 0])
         return 0
 
     jax.lax.fori_loop(0, n_active, body, 0)
@@ -200,8 +209,13 @@ def triangle_nearest_culled(
     K, kof = pack_triangles(mesh.v0, mesh.v1, mesh.v2)  # [9,4,Tc], [Tc]
     kc = K.reshape(9, 4, C, cs).transpose(2, 0, 1, 3)  # [C, 9, 4, cs]
     aux = jnp.stack(
-        [kof.reshape(C, cs), mesh.mask.reshape(C, cs)], axis=1
-    )  # [C, 2, cs]
+        [
+            kof.reshape(C, cs),
+            mesh.mask.reshape(C, cs),
+            mesh.perm.astype(jnp.float32).reshape(C, cs),
+        ],
+        axis=1,
+    )  # [C, 3, cs]
     feats = _pad_rows(ray_features(o, d), rp, fill=1.0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -218,7 +232,7 @@ def triangle_nearest_culled(
         ),
         scratch_shapes=[
             pltpu.VMEM((2, 9, 4, cs), jnp.float32),
-            pltpu.VMEM((2, 2, cs), jnp.float32),
+            pltpu.VMEM((2, 3, cs), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
@@ -234,6 +248,9 @@ def triangle_nearest_culled(
 
     t, idx = t[:R, 0], idx[:R, 0]
     hit = t < _BIG
-    perm = mesh.perm.astype(jnp.int32)  # stored float (all-inexact pytree)
-    orig = perm[jnp.minimum(idx, perm.shape[0] - 1)]
+    # idx already holds the ORIGINAL triangle index (tie-broken to the
+    # minimum, matching the reference scan order); clamp the no-hit
+    # sentinel for safe downstream gathers.
+    n_orig = mesh.perm.shape[0]
+    orig = jnp.minimum(idx, n_orig - 1)
     return jnp.where(hit, t, jnp.inf), orig, hit

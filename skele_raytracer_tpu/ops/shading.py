@@ -165,10 +165,17 @@ def _shadow_mask(x, normal, scene, cfg: RenderConfig, l_vec, light_dist=None):
             if use_culled:
                 # Mesh-scale occlusion: the [R, T] broadcast would OOM on
                 # dragon-sized meshes; the culled kernel streams clusters.
+                # Occlusion is a binary gate (no gradient in the reference
+                # semantics), so the forward-only kernel gets
+                # gradient-free inputs — backend="pallas" stays fully
+                # differentiable end to end.
+                import jax as _jax
+
                 from skele_raytracer_tpu.ops.pallas import culled
 
+                sg = _jax.lax.stop_gradient
                 t_tri_n, _, ok_any = culled.triangle_nearest_culled(
-                    origin, direction, scene.clusters, quirks=quirks
+                    sg(origin), sg(direction), sg(scene.clusters), quirks=quirks
                 )
                 if bound:
                     occ = occ | (ok_any & (t_tri_n < light_dist[:, l]))

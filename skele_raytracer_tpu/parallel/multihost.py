@@ -106,7 +106,11 @@ def scaling_report(
             sync(fn(scene, jnp.uint32(seed)))
         dt = (time.perf_counter() - t0) / iters
         rows.append(dict(devices=n, seconds=dt, rays_per_sec=rays / dt))
-    base = rows[0]["rays_per_sec"]
+    # Normalize by PER-DEVICE throughput of the smallest run so efficiency
+    # is meaningful even when device_counts doesn't start at 1 (e.g.
+    # [2, 4, 8]): efficiency = per-device throughput relative to the
+    # smallest count's per-device throughput.
+    base_per_device = rows[0]["rays_per_sec"] / rows[0]["devices"]
     for r in rows:
-        r["efficiency"] = r["rays_per_sec"] / (base * r["devices"])
+        r["efficiency"] = r["rays_per_sec"] / (base_per_device * r["devices"])
     return rows

@@ -176,6 +176,27 @@ class Scene:
         return self.directional_active
 
 
+def refresh_clusters(scene: Scene) -> Scene:
+    """Rebuild the Morton-clustered render copy from the CURRENT triangle
+    arrays.
+
+    `Scene.clusters` is render-only data built once at construction; after
+    optimizing triangle vertices (models/train.py) the cluster copies and
+    AABBs silently diverge from `scene.triangles`, so a culled
+    (backend="pallas") render of the fitted scene would use pre-training
+    geometry. Host-side only (the Morton build sorts on the host) — call
+    between jit steps, not inside them. No-op for triangle-free scenes.
+    """
+    if not scene.triangles_active:
+        return scene
+    from skele_raytracer_tpu.ops import accel
+
+    t = scene.triangles
+    return scene.replace(
+        clusters=accel.build_clusters(t.v0, t.v1, t.v2, t.mask)
+    )
+
+
 def make_scene(
     *,
     spheres: Optional[list] = None,

@@ -115,3 +115,30 @@ def assert_images_close(a, b, atol=2e-5, rtol=2e-5, what=""):
         f"{what}: {frac_bad:.2%} of values differ "
         f"(max abs {err.max():.3e}, max rel {rel.max():.3e})"
     )
+
+
+def make_mesh_scene(t=700, seed=12):
+    """A scene with enough triangles (>4 clusters) to take the CULLED
+    kernel path, plus one light for the culled shadow pass."""
+    from skele_raytracer_tpu.scene.types import make_scene
+
+    rng = np.random.default_rng(seed)
+    mat = dict(
+        ambient=(0.1, 0.1, 0.1), diffuse=(0.6, 0.5, 0.4),
+        specular=(0.2, 0.2, 0.2), transmissive=(0, 0, 0), power=8.0, ior=1.0,
+    )
+    tris = []
+    for i in range(t):
+        v0 = rng.uniform(-6, 6, 3)
+        tris.append(dict(
+            v0=tuple(v0), v1=tuple(v0 + rng.normal(size=3)),
+            v2=tuple(v0 + rng.normal(size=3)), **mat,
+        ))
+    return make_scene(
+        triangles=tris,
+        spheres=[dict(center=(0, -60, 0), radius=50.0, **mat)],
+        point_lights=[dict(position=(0, 20, -10), colour=(200, 200, 200))],
+        ambient=(0.2, 0.2, 0.2),
+        camera_position=(0, 0, -14), camera_direction=(0, 0, 1),
+        camera_up=(0, 1, 0), background=(0.05, 0.1, 0.15),
+    )

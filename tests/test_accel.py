@@ -100,6 +100,37 @@ def test_dragon_scene_builds_clusters():
     assert len(parsed.triangles) == 10002
 
 
+def test_culled_tie_breaks_to_min_original_index():
+    """Exact-t ties must resolve to the reference's first-in-file-order
+    triangle even though Morton reordering scans in a different order: a
+    small coplanar triangle (original index 7) inside a big one (original
+    index 300), both at z=4 — a ray through the overlap hits both at
+    exactly t=4."""
+    rng = np.random.default_rng(21)
+    t = 600
+    v0 = rng.uniform(-10, 10, (t, 3)).astype(np.float32)
+    v0[:, 2] = rng.uniform(50, 60, t)  # filler far behind
+    v1 = v0 + rng.normal(size=(t, 3)).astype(np.float32)
+    v2 = v0 + rng.normal(size=(t, 3)).astype(np.float32)
+    small = np.array([[-1, -1, 4], [1, -1, 4], [0, 1, 4]], np.float32)
+    big = np.array([[-10, -10, 4], [10, -10, 4], [0, 10, 4]], np.float32)
+    for i, tri in ((7, small), (300, big)):
+        v0[i], v1[i], v2[i] = tri
+    m = np.ones((t,), np.float32)
+    mesh = accel.build_clusters(*(jnp.asarray(a) for a in (v0, v1, v2, m)))
+    # Precondition: Morton order must actually scan BIG before SMALL
+    # (otherwise the test wouldn't distinguish scan-order from file-order).
+    perm = np.asarray(mesh.perm).astype(np.int64)
+    assert np.where(perm == 300)[0][0] < np.where(perm == 7)[0][0]
+
+    o = jnp.asarray(np.array([[0.0, 0.0, 0.0]], np.float32))
+    d = jnp.asarray(np.array([[0.0, 0.0, 1.0]], np.float32))
+    tt, idx, hit = culled.triangle_nearest_culled(o, d, mesh, quirks=CLEAN)
+    assert bool(hit[0])
+    np.testing.assert_allclose(np.asarray(tt), 4.0, rtol=1e-5)
+    assert int(idx[0]) == 7, int(idx[0])
+
+
 def test_culled_reorder_invariance():
     v0, v1, v2, m = _mesh(t=600, seed=11)
     mesh = accel.build_clusters(v0, v1, v2, m)
