@@ -57,6 +57,27 @@ def _fog_uniforms(scene, cfg, key, ids, bounce):
     return sampling.uniform(key, ids, bounce, sampling.PURPOSE_FOG, (L, F, 4, 2))
 
 
+def _use_megakernel(scene, cfg: RenderConfig) -> bool:
+    """True when the fused intersect+shadow+shade Pallas megakernel
+    (ops/pallas/megakernel.py) serves this config: pallas backend, a
+    clustered mesh, clean kernel-relevant semantics, no (real) fog."""
+    q = cfg.quirks
+    return (
+        cfg.backend == "pallas"
+        and scene.has_triangles
+        and scene.clusters is not None
+        and scene.clusters.n_clusters > 4
+        and not scene.has_fog
+        and not (
+            q.near_clip_t_le_1
+            or q.reference_triangle_test
+            or q.triangles_shade_black
+            or q.sphere_only_shadows
+            or q.scalar_epsilon_offset
+        )
+    )
+
+
 def _shade_hit(scene, cfg: RenderConfig, key, o, d, ids, bounce):
     """Nearest hit + direct illumination for a ray batch.
 
@@ -65,6 +86,21 @@ def _shade_hit(scene, cfg: RenderConfig, key, o, d, ids, bounce):
     miss_mask [R]).
     """
     quirks = cfg.quirks
+    if _use_megakernel(scene, cfg):
+        # One fused Pallas launch: intersect + per-light shadows + clean
+        # Blinn-Phong, differentiable via the custom_vjp replay. Hit
+        # point/normal/material for continuation rays are re-derived at
+        # O(rays) from the saved (kind, index).
+        from skele_raytracer_tpu.ops.geometry import Hits
+        from skele_raytracer_tpu.ops.pallas import megakernel as mk
+
+        direct, t, kind, index, _ = mk.fused_shade(o, d, scene, cfg.use_shadows)
+        point, normal = mk.hit_geometry(o, d, scene, kind, index, t)
+        hits = Hits(kind=kind, index=index, t=t, point=point, normal=normal)
+        mat = gather_material(scene, kind, index, quirks=quirks)
+        shades = kind > 0
+        miss = kind == 0
+        return hits, mat, direct, shades, miss
     hits = intersect(o, d, scene, quirks=quirks, backend=cfg.backend)
     # Hit topology is discrete: selection is held fixed for gradients
     # (differentiate shading wrt params given the forward's hit structure).
