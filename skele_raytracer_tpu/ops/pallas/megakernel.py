@@ -173,12 +173,18 @@ def _megakernel(
     abuf,  # [2, 3, cs]
     sbuf,  # [2, 14, cs]
     shade_sc,  # [TILE_R, 14] winner normal+material
+    tb_sc,  # [TILE_R, 1] f32 running nearest t
+    ob_sc,  # [TILE_R, 1] i32 running winner original index
+    occ_sc,  # [TILE_R, 1] f32 running shadow occlusion
     sems,  # DMA sems [2, 3]
     *,
     cs,
     n_clusters,
     use_shadows,
 ):
+    # All loop-carried per-ray state lives in VMEM scratch refs, mutated
+    # in place (the _culled_kernel pattern): Mosaic cannot legalize
+    # vector loop carries through scf.for/scf.if on this backend.
     i = pl.program_id(0)
     n_active = count_ref[i]
     feats = f_ref[:]
@@ -187,8 +193,8 @@ def _megakernel(
     R = feats.shape[0]
 
     # ---------------- primary triangle intersect (shortlisted) ----------
-    t_best = jnp.full((R,), _BIG, jnp.float32)
-    orig_best = jnp.full((R,), _BIG_I, jnp.int32)
+    tb_sc[:, 0] = jnp.full((R,), _BIG, jnp.float32)
+    ob_sc[:, 0] = jnp.full((R,), _BIG_I, jnp.int32)
     shade_sc[:] = jnp.zeros((R, _N_SHADE), jnp.float32)
 
     def dma(slot, pos):
@@ -204,8 +210,7 @@ def _megakernel(
         for c in dma(0, 0):
             c.start()
 
-    def body(p, carry):
-        t_b, orig_b = carry
+    def body(p, _):
         slot = jax.lax.rem(p, 2)
         nxt = jax.lax.rem(p + 1, 2)
 
@@ -235,16 +240,17 @@ def _megakernel(
             preferred_element_type=jnp.float32, precision=_HI,
         )  # [R, 14]
 
-        better = (t_blk < t_b) | ((t_blk == t_b) & (orig_blk < orig_b))
-        shade_sc[:] = jnp.where(better[:, None], shade_blk, shade_sc[:])
-        return (
-            jnp.where(better, t_blk, t_b),
-            jnp.where(better, orig_blk, orig_b),
+        better = (t_blk < tb_sc[:, 0]) | (
+            (t_blk == tb_sc[:, 0]) & (orig_blk < ob_sc[:, 0])
         )
+        shade_sc[:] = jnp.where(better[:, None], shade_blk, shade_sc[:])
+        tb_sc[:, 0] = jnp.where(better, t_blk, tb_sc[:, 0])
+        ob_sc[:, 0] = jnp.where(better, orig_blk, ob_sc[:, 0])
+        return 0
 
-    t_best, orig_best = jax.lax.fori_loop(
-        0, n_active, body, (t_best, orig_best)
-    )
+    jax.lax.fori_loop(0, n_active, body, 0)
+    t_best = tb_sc[:, 0]
+    orig_best = ob_sc[:, 0]
     tri_hit = t_best < _BIG
 
     # ---------------- spheres -------------------------------------------
@@ -306,20 +312,25 @@ def _megakernel(
 
     def shadow_occluded(ldir, bound, lmask_scalar):
         """[R] float 1.0 = occluded, toward unit direction ldir [R, 3];
-        bound [R, 1] max t (point lights) or None (directional)."""
+        bound [R, 1] max t (point lights) or None (directional).
+        Occlusion state lives in occ_sc (f32 0/1) and is updated in
+        place under pl.when — no vector loop carries (Mosaic cannot
+        legalize them), and clusters no live shadow ray enters cost
+        neither DMA nor FLOPs."""
         tso = _sphere_t_all(
             sh_origin, ldir, cen, c_const, s_mask, t_clip=CLEAN_T_EPS
         )
         if bound is not None:
-            occ = jnp.any(tso < bound, axis=1)
+            occ0 = jnp.any(tso < bound, axis=1)
         else:
-            occ = jnp.any(tso < _BIG, axis=1)
+            occ0 = jnp.any(tso < _BIG, axis=1)
+        occ_sc[:, 0] = occ0.astype(jnp.float32)
 
         w_sh = _cross_cols(sh_origin, ldir)
         inv_d = jnp.where(jnp.abs(ldir) > 1e-30, ldir, 1e-30)
         inv_d = 1.0 / inv_d
 
-        def sbody(c, occ_c):
+        def sbody(c, _):
             lo = lo_ref[pl.ds(c, 1), :]  # [1, 3]
             hi = hi_ref[pl.ds(c, 1), :]
             t0 = (lo - sh_origin) * inv_d
@@ -329,7 +340,7 @@ def _megakernel(
             enter = (tmin <= tmax) & (tmax > CLEAN_T_EPS)
             if bound is not None:
                 enter = enter & (tmin < bound[:, 0])
-            pend = enter & ~occ_c & alive
+            pend = enter & (occ_sc[:, 0] < 0.5) & alive
             need = jnp.any(pend) & (lmask_scalar > 0)
 
             @pl.when(need)
@@ -344,19 +355,19 @@ def _megakernel(
                 a_dma.start()
                 k_dma.wait()
                 a_dma.wait()
-
-            def hit_any(_):
                 K = kbuf[0].reshape(9, 4 * cs)
                 prods = _mt_prods(ldir, w_sh, sh_origin, K)
                 t_all, valid = _mt_tuv(prods, abuf[0, 0, :], abuf[0, 1, :])
                 if bound is not None:
                     valid = valid & (t_all < bound)
-                return occ_c | jnp.any(valid, axis=1)
+                occ_sc[:, 0] = jnp.maximum(
+                    occ_sc[:, 0], jnp.any(valid, axis=1).astype(jnp.float32)
+                )
 
-            return jax.lax.cond(need, hit_any, lambda _: occ_c, 0)
+            return 0
 
-        occ = jax.lax.fori_loop(0, n_clusters, sbody, occ)
-        return occ
+        jax.lax.fori_loop(0, n_clusters, sbody, 0)
+        return occ_sc[:, 0]
 
     # ---------------- point lights --------------------------------------
     Lp = plp_ref.shape[0]
@@ -369,11 +380,11 @@ def _megakernel(
         d_l = jnp.sqrt(jnp.maximum(d2, 1e-30))
         ldir = l_vec / jnp.maximum(d_l, 1e-30)
         if use_shadows:
-            occ = shadow_occluded(ldir, d_l, lmask)
+            unsh = 1.0 - shadow_occluded(ldir, d_l, lmask)
         else:
-            occ = jnp.zeros((R,), jnp.bool_)
-        unsh_ref[:, l] = (~occ).astype(jnp.float32)
-        gate = lmask * (~occ).astype(jnp.float32)[:, None] * shades
+            unsh = jnp.ones((R,), jnp.float32)
+        unsh_ref[:, l] = unsh
+        gate = lmask * unsh[:, None] * shades
 
         intensity = 1.0 / jnp.maximum(d2, 1e-30)
         ndotl = jnp.maximum(0.0, jnp.sum(normal * ldir, axis=1, keepdims=True))
@@ -390,11 +401,11 @@ def _megakernel(
         lmask = dlc_ref[l, 3]
         ldir = jnp.broadcast_to(ldir_row, x.shape)
         if use_shadows:
-            occ = shadow_occluded(ldir, None, lmask)
+            unsh = 1.0 - shadow_occluded(ldir, None, lmask)
         else:
-            occ = jnp.zeros((R,), jnp.bool_)
-        unsh_ref[:, Lp + l] = (~occ).astype(jnp.float32)
-        gate = lmask * (~occ).astype(jnp.float32)[:, None] * shades
+            unsh = jnp.ones((R,), jnp.float32)
+        unsh_ref[:, Lp + l] = unsh
+        gate = lmask * unsh[:, None] * shades
 
         ndotl = jnp.maximum(0.0, jnp.sum(normal * ldir, axis=1, keepdims=True))
         h = _normalize_rows(view + ldir)
@@ -529,6 +540,9 @@ def fused_shade_forward(o, d, scene, *, use_shadows, reorder=True):
             pltpu.VMEM((2, 3, cs), jnp.float32),
             pltpu.VMEM((2, _N_SHADE, cs), jnp.float32),
             pltpu.VMEM((TILE_R, _N_SHADE), jnp.float32),
+            pltpu.VMEM((TILE_R, 1), jnp.float32),
+            pltpu.VMEM((TILE_R, 1), jnp.int32),
+            pltpu.VMEM((TILE_R, 1), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )
