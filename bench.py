@@ -122,6 +122,16 @@ def main() -> None:
 
     dragon = _bench_dragon()
 
+    # Speed-of-light accounting (utils/roofline.py): analytic FLOPs +
+    # minimal-HBM model of the headline frame vs TPU v5e peaks.
+    from skele_raytracer_tpu.utils import roofline
+
+    s_pad = int(scene.spheres.mask.shape[0])
+    model = roofline.frame_model(
+        width=W, height=H, paths=PATHS, depth=DEPTH, s_pad=s_pad
+    )
+    sol = roofline.sol_summary(model, t_fwd)
+
     rays_fwd = RAYS_PER_FRAME / t_fwd
     rays_fwdbwd = RAYS_PER_FRAME / t_fwdbwd
     print(
@@ -134,6 +144,7 @@ def main() -> None:
                 "fwd_s_per_frame": round(t_fwd, 4),
                 "fwdbwd_s_per_frame": round(t_fwdbwd, 4),
                 "fwdbwd_rays_per_sec": round(rays_fwdbwd),
+                "sol": sol,
                 "configs": dragon,
                 "device": str(jax.devices()[0]),
             }

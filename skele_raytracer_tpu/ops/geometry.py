@@ -245,8 +245,15 @@ def intersect(o, d, scene, *, quirks: Quirks, backend: str = "jnp") -> Hits:
     # The triangle scan is skipped statically for sphere-only scenes (the
     # padded placeholder triangles could never hit, but the [R, T] work and
     # its gradient cost are real).
+    # Tiny triangle tables (a few handfuls, e.g. spheres1.scn's single
+    # decorative triangle) stay on the jnp path even under backend=
+    # "pallas": the XLA-fused [R, T] broadcast beats a pallas_call round
+    # trip at that scale (same measured reasoning as spheres above), and
+    # Mosaic cannot lower the kernels' (9, 4, n_t) -> (9, 4*n_t) reshape
+    # when 4*n_t is below the 128-lane register width.
+    use_pallas_tris = backend == "pallas" and scene.triangles.mask.shape[0] >= 64
     if scene.has_triangles:
-        if backend == "pallas":
+        if use_pallas_tris:
             # The kernels are forward-only: feed them gradient-free inputs
             # (no tangents ever reach pallas_call) and re-derive the
             # continuous t differentiably from the discrete hit structure

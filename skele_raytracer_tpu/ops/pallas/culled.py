@@ -59,6 +59,7 @@ def _culled_kernel(
     sign,
     t_clip,
     cs,
+    resident,
 ):
     i = pl.program_id(0)
     n_active = count_ref[i]
@@ -74,31 +75,47 @@ def _culled_kernel(
             pltpu.make_async_copy(aux_ref.at[ci], abuf.at[slot], sems.at[slot, 1]),
         )
 
-    @pl.when(n_active > 0)
-    def _():
-        for c in dma(0, 0):
-            c.start()
+    if not resident:
 
-    def body(p, _):
-        slot = jax.lax.rem(p, 2)
-        nxt = jax.lax.rem(p + 1, 2)
-
-        @pl.when(p + 1 < n_active)
+        @pl.when(n_active > 0)
         def _():
-            for c in dma(nxt, p + 1):
+            for c in dma(0, 0):
                 c.start()
 
-        for c in dma(slot, p):
-            c.wait()
+    def body(p, _):
+        # `resident` (static): cluster blocks live wholly in VMEM — read
+        # directly by dynamic leading-axis index, zero DMA (megakernel.py
+        # RESIDENT_BUDGET_BYTES rationale).
+        if resident:
+            ci = shortlist_ref[i, p]
+            K = kc_ref[ci].reshape(9, 4 * cs)
+            kof_blk = aux_ref[ci, 0, :]
+            msk_blk = aux_ref[ci, 1, :]
+            orig_row = aux_ref[ci, 2, :]
+        else:
+            slot = jax.lax.rem(p, 2)
+            nxt = jax.lax.rem(p + 1, 2)
 
-        K = kbuf[slot].reshape(9, 4 * cs)
+            @pl.when(p + 1 < n_active)
+            def _():
+                for c in dma(nxt, p + 1):
+                    c.start()
+
+            for c in dma(slot, p):
+                c.wait()
+
+            K = kbuf[slot].reshape(9, 4 * cs)
+            kof_blk = abuf[slot, 0, :]
+            msk_blk = abuf[slot, 1, :]
+            orig_row = abuf[slot, 2, :]
+
         prods = jax.lax.dot_general(
             feats, K, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
         ).reshape(-1, 4, cs)
         det = prods[:, 0, :]
         u_num = sign * prods[:, 1, :]
         v_num = prods[:, 2, :]
-        t_num = prods[:, 3, :] - abuf[slot, 0, :][None, :]
+        t_num = prods[:, 3, :] - kof_blk[None, :]
 
         ok = jnp.abs(det) >= TRIANGLE_DET_EPS
         inv = jnp.where(ok, 1.0, 0.0) / jnp.where(ok, det, 1.0)
@@ -107,7 +124,7 @@ def _culled_kernel(
         t = t_num * inv
         valid = (
             ok & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1)
-            & (abuf[slot, 1, :][None, :] > 0)
+            & (msk_blk[None, :] > 0)
         )
         if t_clip is not None:
             valid = valid & (t > t_clip)
@@ -116,10 +133,10 @@ def _culled_kernel(
         # Exact-t ties resolve to the MINIMUM ORIGINAL index — the
         # reference's strict-< scan keeps the first triangle in file order
         # (src/raytrace.h:176-186), which Morton reordering would otherwise
-        # permute. abuf row 2 carries each sorted row's original index.
+        # permute. aux row 2 carries each sorted row's original index.
         t_blk = jnp.min(t_all, axis=1)
         is_min = t_all == t_blk[:, None]
-        orig_f = abuf[slot, 2, :][None, :]  # [1, cs] original indices (f32)
+        orig_f = orig_row[None, :]  # [1, cs] original indices (f32)
         orig_blk = jnp.min(
             jnp.where(is_min, orig_f, jnp.float32(_BIG_I)), axis=1
         ).astype(jnp.int32)
@@ -218,13 +235,21 @@ def triangle_nearest_culled(
     )  # [C, 3, cs]
     feats = _pad_rows(ray_features(o, d), rp, fill=1.0)
 
+    from skele_raytracer_tpu.ops.pallas.megakernel import (
+        RESIDENT_BUDGET_BYTES,
+        mesh_resident_bytes,
+    )
+
+    resident = mesh_resident_bytes(C, cs) <= RESIDENT_BUDGET_BYTES
+    mesh_space = pltpu.VMEM if resident else pl.ANY
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((TILE_R, 9), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=mesh_space),
+            pl.BlockSpec(memory_space=mesh_space),
         ],
         out_specs=(
             pl.BlockSpec((TILE_R, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
@@ -237,7 +262,9 @@ def triangle_nearest_culled(
         ],
     )
     t, idx = pl.pallas_call(
-        functools.partial(_culled_kernel, sign=sign, t_clip=t_clip, cs=cs),
+        functools.partial(
+            _culled_kernel, sign=sign, t_clip=t_clip, cs=cs, resident=resident
+        ),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((rp, 1), jnp.float32),

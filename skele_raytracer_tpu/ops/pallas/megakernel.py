@@ -57,6 +57,29 @@ TILE_R = 512
 
 _HI = jax.lax.Precision.HIGHEST
 
+# VMEM-resident mesh budget: when the padded cluster blocks (kc + aux +
+# shade planes) fit under this, they are passed as whole-array VMEM
+# operands and the kernel reads them directly — no DMA streaming at all.
+# The serialized conditional shadow DMAs are the latency bottleneck for
+# incoherent (bounce) rays; dragon's ~79 clusters pad to ~4.9 MB, well
+# inside the ~16 MB/core VMEM (leaving room for ray tiles + matmul
+# intermediates). Larger meshes fall back to double-buffered streaming.
+RESIDENT_BUDGET_BYTES = 8 * 1024 * 1024
+
+
+def _pad_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def mesh_resident_bytes(n_clusters: int, cs: int) -> int:
+    """Padded VMEM bytes of (kc [C,9,4,cs], aux [C,3,cs], shd [C,14,cs])
+    under the (8, 128) f32 register tiling on the two minor dims."""
+    csp = _pad_to(cs, 128)
+    kc = n_clusters * 9 * _pad_to(4, 8) * csp * 4
+    aux = n_clusters * _pad_to(3, 8) * csp * 4
+    shd = n_clusters * _pad_to(_N_SHADE, 8) * csp * 4
+    return kc + aux + shd
+
 
 def _dot_tn(a, b):
     """[R, k] x [N, k] -> [R, N] contraction on the MXU."""
@@ -181,10 +204,13 @@ def _megakernel(
     cs,
     n_clusters,
     use_shadows,
+    resident,
 ):
     # All loop-carried per-ray state lives in VMEM scratch refs, mutated
     # in place (the _culled_kernel pattern): Mosaic cannot legalize
     # vector loop carries through scf.for/scf.if on this backend.
+    # `resident` (static): cluster blocks are whole-array VMEM operands,
+    # read directly by dynamic leading-axis index — zero DMA.
     i = pl.program_id(0)
     n_active = count_ref[i]
     feats = f_ref[:]
@@ -205,38 +231,53 @@ def _megakernel(
             pltpu.make_async_copy(shd_ref.at[ci], sbuf.at[slot], sems.at[slot, 2]),
         )
 
-    @pl.when(n_active > 0)
-    def _():
-        for c in dma(0, 0):
-            c.start()
+    if not resident:
 
-    def body(p, _):
-        slot = jax.lax.rem(p, 2)
-        nxt = jax.lax.rem(p + 1, 2)
-
-        @pl.when(p + 1 < n_active)
+        @pl.when(n_active > 0)
         def _():
-            for c in dma(nxt, p + 1):
+            for c in dma(0, 0):
                 c.start()
 
-        for c in dma(slot, p):
-            c.wait()
+    def body(p, _):
+        if resident:
+            ci = shortlist_ref[i, p]
+            K = kc_ref[ci].reshape(9, 4 * cs)
+            kof_blk = aux_ref[ci, 0, :]
+            msk_blk = aux_ref[ci, 1, :]
+            orig_row = aux_ref[ci, 2, :]
+            planes = shd_ref[ci]  # [14, cs]
+        else:
+            slot = jax.lax.rem(p, 2)
+            nxt = jax.lax.rem(p + 1, 2)
 
-        K = kbuf[slot].reshape(9, 4 * cs)
+            @pl.when(p + 1 < n_active)
+            def _():
+                for c in dma(nxt, p + 1):
+                    c.start()
+
+            for c in dma(slot, p):
+                c.wait()
+
+            K = kbuf[slot].reshape(9, 4 * cs)
+            kof_blk = abuf[slot, 0, :]
+            msk_blk = abuf[slot, 1, :]
+            orig_row = abuf[slot, 2, :]
+            planes = sbuf[slot]
+
         prods = _mt_prods(d, _cross_cols(o, d), o, K)
-        t_all, _ = _mt_tuv(prods, abuf[slot, 0, :], abuf[slot, 1, :])
+        t_all, _ = _mt_tuv(prods, kof_blk, msk_blk)
 
         t_blk = jnp.min(t_all, axis=1)
         is_min = t_all == t_blk[:, None]
-        orig_f = abuf[slot, 2, :][None, :]
+        orig_f = orig_row[None, :]
         orig_blk_f = jnp.min(
             jnp.where(is_min, orig_f, jnp.float32(_BIG_I)), axis=1
         )
         orig_blk = orig_blk_f.astype(jnp.int32)
         onehot = (is_min & (orig_f == orig_blk_f[:, None])).astype(jnp.float32)
-        # winner's normal+material from the streamed planes: [R,cs]@[cs,14]
+        # winner's normal+material from the cluster planes: [R,cs]@[cs,14]
         shade_blk = jax.lax.dot_general(
-            onehot, sbuf[slot], (((1,), (1,)), ((), ())),
+            onehot, planes, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=_HI,
         )  # [R, 14]
 
@@ -345,19 +386,26 @@ def _megakernel(
 
             @pl.when(need)
             def _():
-                k_dma = pltpu.make_async_copy(
-                    kc_ref.at[c], kbuf.at[0], sems.at[0, 0]
-                )
-                a_dma = pltpu.make_async_copy(
-                    aux_ref.at[c], abuf.at[0], sems.at[0, 1]
-                )
-                k_dma.start()
-                a_dma.start()
-                k_dma.wait()
-                a_dma.wait()
-                K = kbuf[0].reshape(9, 4 * cs)
+                if resident:
+                    K = kc_ref[c].reshape(9, 4 * cs)
+                    kof_blk = aux_ref[c, 0, :]
+                    msk_blk = aux_ref[c, 1, :]
+                else:
+                    k_dma = pltpu.make_async_copy(
+                        kc_ref.at[c], kbuf.at[0], sems.at[0, 0]
+                    )
+                    a_dma = pltpu.make_async_copy(
+                        aux_ref.at[c], abuf.at[0], sems.at[0, 1]
+                    )
+                    k_dma.start()
+                    a_dma.start()
+                    k_dma.wait()
+                    a_dma.wait()
+                    K = kbuf[0].reshape(9, 4 * cs)
+                    kof_blk = abuf[0, 0, :]
+                    msk_blk = abuf[0, 1, :]
                 prods = _mt_prods(ldir, w_sh, sh_origin, K)
-                t_all, valid = _mt_tuv(prods, abuf[0, 0, :], abuf[0, 1, :])
+                t_all, valid = _mt_tuv(prods, kof_blk, msk_blk)
                 if bound is not None:
                     valid = valid & (t_all < bound)
                 occ_sc[:, 0] = jnp.maximum(
@@ -511,6 +559,9 @@ def fused_shade_forward(o, d, scene, *, use_shadows, reorder=True):
     Lp, Ld = plp.shape[0], dld.shape[0]
     L_out = Lp + Ld
 
+    resident = mesh_resident_bytes(C, cs) <= RESIDENT_BUDGET_BYTES
+    mesh_space = pltpu.VMEM if resident else pl.ANY
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
@@ -526,9 +577,9 @@ def fused_shade_forward(o, d, scene, *, use_shadows, reorder=True):
             pl.BlockSpec(memory_space=pltpu.VMEM),  # const
             pl.BlockSpec(memory_space=pltpu.VMEM),  # lo
             pl.BlockSpec(memory_space=pltpu.VMEM),  # hi
-            pl.BlockSpec(memory_space=pl.ANY),  # kc
-            pl.BlockSpec(memory_space=pl.ANY),  # aux
-            pl.BlockSpec(memory_space=pl.ANY),  # shd
+            pl.BlockSpec(memory_space=mesh_space),  # kc
+            pl.BlockSpec(memory_space=mesh_space),  # aux
+            pl.BlockSpec(memory_space=mesh_space),  # shd
         ],
         out_specs=(
             pl.BlockSpec((TILE_R, 4), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
@@ -548,7 +599,8 @@ def fused_shade_forward(o, d, scene, *, use_shadows, reorder=True):
     )
     out, meta, unsh = pl.pallas_call(
         functools.partial(
-            _megakernel, cs=cs, n_clusters=C, use_shadows=use_shadows
+            _megakernel, cs=cs, n_clusters=C, use_shadows=use_shadows,
+            resident=resident,
         ),
         grid_spec=grid_spec,
         out_shape=(

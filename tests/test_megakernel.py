@@ -137,3 +137,34 @@ def test_megakernel_grad_matches_jnp():
     assert np.isfinite(gv_mk).all() and np.abs(gv_mk).max() > 0
     close = np.isclose(gv_jnp, gv_mk, rtol=1e-2, atol=1e-4)
     assert close.mean() > 0.98, f"{(~close).sum()} vertex-grad entries differ"
+
+
+def test_streaming_matches_resident(monkeypatch):
+    """The DMA-streaming kernel variant (meshes over RESIDENT_BUDGET_BYTES)
+    computes the same outputs as the VMEM-resident one — small test meshes
+    always take the resident path, so pin the budget to 0 to force
+    streaming and compare."""
+    scene = make_mesh_scene()
+    rng = np.random.default_rng(3)
+    R = 600
+    o = jnp.asarray(rng.uniform(-10, 10, (R, 3)).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(R, 3)).astype(np.float32))
+
+    res = mk.fused_shade(o, d, scene, True)
+    monkeypatch.setattr(mk, "RESIDENT_BUDGET_BYTES", 0)
+    stream = mk.fused_shade(o, d, scene, True)
+    for got, want, name in zip(stream, res, ("direct", "t", "kind", "index", "unsh")):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6,
+            err_msg=name,
+        )
+
+    # culled.py reads the same budget (lazy import) — force-check it too
+    from skele_raytracer_tpu.ops.pallas.culled import triangle_nearest_culled
+
+    t_s, i_s, h_s = triangle_nearest_culled(o, d, scene.clusters, quirks=CLEAN)
+    monkeypatch.undo()
+    t_r, i_r, h_r = triangle_nearest_culled(o, d, scene.clusters, quirks=CLEAN)
+    np.testing.assert_array_equal(np.asarray(i_s), np.asarray(i_r))
+    np.testing.assert_array_equal(np.asarray(h_s), np.asarray(h_r))
+    np.testing.assert_allclose(np.asarray(t_s), np.asarray(t_r), rtol=1e-6)
