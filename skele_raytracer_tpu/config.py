@@ -102,6 +102,15 @@ class RenderConfig:
     # Hot-path backend: "jnp" (pure JAX, XLA-fused) or "pallas" (fused
     # megakernel). "auto" picks pallas on TPU when the config supports it.
     backend: str = "jnp"
+    # Under backend="pallas", route shading through the fused
+    # intersect+shadow+shade megakernel (ops/pallas/megakernel.py) instead
+    # of the split pipeline (culled intersect kernel + culled shadow kernel
+    # + XLA-fused shading). The split pipeline wins on every measured
+    # dragon config (clean shadows 0.27 s vs 0.40 s; the megakernel pays
+    # its per-cluster shade bookkeeping on every loop iteration), so the
+    # fused kernel is opt-in — it remains the single-launch option and the
+    # custom_vjp hit-replay demonstrator.
+    fused_megakernel: bool = False
 
     @property
     def samples_per_pixel(self) -> int:

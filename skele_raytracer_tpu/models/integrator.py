@@ -64,6 +64,12 @@ def _use_megakernel(scene, cfg: RenderConfig) -> bool:
     q = cfg.quirks
     return (
         cfg.backend == "pallas"
+        # Opt-in (cfg.fused_megakernel): the split pipeline — culled
+        # intersect + culled shadow + XLA-fused shading — beats the fused
+        # kernel on every measured dragon config (clean shadows 0.27 s vs
+        # 0.40 s, gillum16 via split 1.07 s vs 3.1 s; the megakernel pays
+        # its shade bookkeeping on every cluster iteration of every tile).
+        and cfg.fused_megakernel
         and scene.has_triangles
         and scene.clusters is not None
         and scene.clusters.n_clusters > 4
@@ -78,8 +84,12 @@ def _use_megakernel(scene, cfg: RenderConfig) -> bool:
     )
 
 
-def _shade_hit(scene, cfg: RenderConfig, key, o, d, ids, bounce):
+def _shade_hit(scene, cfg: RenderConfig, key, o, d, ids, bounce, live=None):
     """Nearest hit + direct illumination for a ray batch.
+
+    live: optional [R] f32 mask, 1.0 where the ray still carries path
+    throughput — dead rays' radiance is multiplied by zero downstream, so
+    the megakernel skips their intersection/shadow work entirely.
 
     Returns (hits, mat, direct [R,3], shade_mask [R] 1.0 where the ray hit
     something that shades — sphere always; triangle only in clean mode,
@@ -94,19 +104,25 @@ def _shade_hit(scene, cfg: RenderConfig, key, o, d, ids, bounce):
         from skele_raytracer_tpu.ops.geometry import Hits
         from skele_raytracer_tpu.ops.pallas import megakernel as mk
 
-        direct, t, kind, index, _ = mk.fused_shade(o, d, scene, cfg.use_shadows)
+        direct, t, kind, index, _ = mk.fused_shade(
+            o, d, scene, cfg.use_shadows, live
+        )
         point, normal = mk.hit_geometry(o, d, scene, kind, index, t)
         hits = Hits(kind=kind, index=index, t=t, point=point, normal=normal)
         mat = gather_material(scene, kind, index, quirks=quirks)
         shades = kind > 0
         miss = kind == 0
         return hits, mat, direct, shades, miss
-    hits = intersect(o, d, scene, quirks=quirks, backend=cfg.backend)
+    hits = intersect(o, d, scene, quirks=quirks, backend=cfg.backend, live=live)
     # Hit topology is discrete: selection is held fixed for gradients
     # (differentiate shading wrt params given the forward's hit structure).
     kind = jax.lax.stop_gradient(hits.kind)
     index = jax.lax.stop_gradient(hits.index)
     hits = hits._replace(kind=kind, index=index)
+    # shadow queries only matter for rays that hit AND carry throughput
+    live_sh = (kind > 0).astype(jnp.float32)
+    if live is not None:
+        live_sh = live_sh * live
 
     mat = gather_material(scene, kind, index, quirks=quirks)
     # prim_center only feeds the fog distance term — skip the (scatter-
@@ -123,7 +139,8 @@ def _shade_hit(scene, cfg: RenderConfig, key, o, d, ids, bounce):
 
     fog_u = _fog_uniforms(scene, cfg, key, ids, bounce)
     direct = direct_illumination(
-        hits.point, hits.normal, scene, mat, prim_center, cfg, fog_u
+        hits.point, hits.normal, scene, mat, prim_center, cfg, fog_u,
+        live=live_sh,
     )
 
     shades = kind == 1
@@ -193,7 +210,10 @@ def integrate_linear(scene, cfg: RenderConfig, key, o, d, sample_ids):
 
     def body(carry, bounce):
         o_b, d_b, t_b = carry
-        h, m, dir_b, sh, ms = _shade_hit(scene, cfg, key, o_b, d_b, path_ids, bounce)
+        live = jnp.any(t_b != 0, axis=1).astype(jnp.float32)
+        h, m, dir_b, sh, ms = _shade_hit(
+            scene, cfg, key, o_b, d_b, path_ids, bounce, live
+        )
         bg = jnp.broadcast_to(scene.background[None, :], dir_b.shape)
         l_add = t_b * jnp.where(
             ms[:, None], bg, jnp.where(sh[:, None], dir_b / _PI * m.diffuse, 0.0)
@@ -233,8 +253,9 @@ def integrate_whitted(scene, cfg: RenderConfig, key, o, d, sample_ids):
     ids = sample_ids
 
     for depth in range(cfg.max_depth):
+        live = jnp.any(weight != 0, axis=1).astype(jnp.float32)
         hits, mat, direct, shades, miss = _shade_hit(
-            scene, cfg, key, frontier_o, frontier_d, ids, depth
+            scene, cfg, key, frontier_o, frontier_d, ids, depth, live
         )
         bg = jnp.broadcast_to(scene.background[None, :], direct.shape)
         l_local = jnp.where(

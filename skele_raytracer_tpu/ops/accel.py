@@ -29,7 +29,10 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
-CLUSTER_SIZE = 128  # triangles per cluster (one VMEM-friendly block)
+CLUSTER_SIZE = 256  # triangles per cluster (one VMEM-friendly block).
+# Dragon sweep with the in-kernel front-to-back slab pretest: 256 beats
+# 128 (per-cluster loop overhead dominates the finer pruning) and ties
+# 512 while keeping the megakernel's shadow sweep granular.
 
 
 def _morton3(x: np.ndarray) -> np.ndarray:
@@ -57,7 +60,16 @@ class ClusteredMesh(NamedTuple):
     material lookup; padding rows point at 0). Stored as float so the
     Scene pytree stays all-inexact (jax.grad rejects integer leaves);
     indices are exact in f32 up to 2^24 triangles.
-    aabb_lo/aabb_hi: [C, 3] cluster bounds.
+    aabb_lo/aabb_hi: [C, 3] cluster bounds (true triangles).
+    aabb_lo_m/aabb_hi_m: [C, 3] MIRROR-EXTENDED bounds for parity mode:
+    the reference's buggy triangle test (mirrored u, SURVEY quirk —
+    src/raytrace.h:176-186 realization) accepts "hits" on the triangle
+    reflected through v0, i.e. points OUTSIDE the true geometry's box,
+    so any cull against the tight AABBs silently drops reference hits.
+    These bounds additionally cover 2*v0 - v1 and 2*v0 - v2 (a superset
+    of the mirrored acceptance region for either edge-parameter
+    convention), keeping parity culling exact. Clean mode uses the tight
+    boxes.
     """
 
     v0: jnp.ndarray
@@ -67,6 +79,15 @@ class ClusteredMesh(NamedTuple):
     perm: jnp.ndarray
     aabb_lo: jnp.ndarray
     aabb_hi: jnp.ndarray
+    aabb_lo_m: jnp.ndarray
+    aabb_hi_m: jnp.ndarray
+
+    def bounds(self, *, mirrored: bool):
+        """(lo, hi) — mirror-extended when culling for the parity
+        (reference_triangle_test) semantics, tight otherwise."""
+        if mirrored:
+            return self.aabb_lo_m, self.aabb_hi_m
+        return self.aabb_lo, self.aabb_hi
 
     @property
     def n_clusters(self) -> int:
@@ -97,22 +118,55 @@ def build_clusters(v0, v1, v2, mask, cluster_size: int = CLUSTER_SIZE) -> Cluste
     sm = np.concatenate([m[order], np.zeros(pad, m.dtype)])
 
     C = tc // cluster_size
-    pts = np.stack([sv0, sv1, sv2], axis=1).reshape(C, cluster_size * 3, 3)
     cm = sm.reshape(C, cluster_size)
-    wide = np.repeat(cm, 3, axis=1)[..., None]  # [C, 3*cs, 1]
-    big = np.float32(3e38)
-    lo_c = np.where(wide > 0, pts, big).min(axis=1)
-    hi_c = np.where(wide > 0, pts, -big).max(axis=1)
     empty = (cm > 0).sum(axis=1) == 0
-    lo_c[empty] = 1.0  # empty boxes: lo > hi -> slab test always misses
-    hi_c[empty] = 0.0
+    big = np.float32(3e38)
+
+    def bounds_of(point_sets):
+        k = len(point_sets)
+        pts = np.stack(point_sets, axis=1).reshape(C, cluster_size * k, 3)
+        wide = np.repeat(cm, k, axis=1)[..., None]  # [C, k*cs, 1]
+        lo_c = np.where(wide > 0, pts, big).min(axis=1)
+        hi_c = np.where(wide > 0, pts, -big).max(axis=1)
+        lo_c[empty] = 1.0  # empty boxes: lo > hi -> slab test always misses
+        hi_c[empty] = 0.0
+        return lo_c.astype(np.float32), hi_c.astype(np.float32)
+
+    lo_c, hi_c = bounds_of([sv0, sv1, sv2])
+    # parity (mirrored-u) acceptance region: see ClusteredMesh docstring
+    lo_m, hi_m = bounds_of(
+        [sv0, sv1, sv2, 2.0 * sv0 - sv1, 2.0 * sv0 - sv2]
+    )
 
     return ClusteredMesh(
         v0=jnp.asarray(sv0), v1=jnp.asarray(sv1), v2=jnp.asarray(sv2),
         mask=jnp.asarray(sm), perm=jnp.asarray(order_p, jnp.float32),
-        aabb_lo=jnp.asarray(lo_c.astype(np.float32)),
-        aabb_hi=jnp.asarray(hi_c.astype(np.float32)),
+        aabb_lo=jnp.asarray(lo_c), aabb_hi=jnp.asarray(hi_c),
+        aabb_lo_m=jnp.asarray(lo_m), aabb_hi_m=jnp.asarray(hi_m),
     )
+
+
+def ray_aabb_entry(o, d, lo, hi, *, t_clip: float = 0.0, allow_negative: bool = False):
+    """([R, C] bool, [R, C] f32) — slab test + ENTRY distance per AABB.
+
+    The entry value (slab tmin, in ray-parameter units) is a lower bound
+    on the t of any intersection inside that box: the cluster-culled
+    kernels sort each tile's shortlist by the tile-minimum entry
+    (front-to-back) so the running nearest-t can prune whole clusters —
+    classic BVH ordered traversal, amortized over the ray tile. Valid in
+    parity mode too (negative tmin is still a lower bound on the accepted
+    negative-t hits). Entry for non-entered boxes is undefined (gate with
+    the mask).
+    """
+    inv = 1.0 / jnp.where(jnp.abs(d) > 1e-30, d, 1e-30)  # [R, 3]
+    t0 = (lo[None, :, :] - o[:, None, :]) * inv[:, None, :]  # [R, C, 3]
+    t1 = (hi[None, :, :] - o[:, None, :]) * inv[:, None, :]
+    tmin = jnp.max(jnp.minimum(t0, t1), axis=2)  # [R, C]
+    tmax = jnp.min(jnp.maximum(t0, t1), axis=2)
+    hit = tmin <= tmax
+    if not allow_negative:
+        hit = hit & (tmax > t_clip)
+    return hit, tmin
 
 
 def ray_aabb_mask(o, d, lo, hi, *, t_clip: float = 0.0, allow_negative: bool = False):
@@ -123,12 +177,6 @@ def ray_aabb_mask(o, d, lo, hi, *, t_clip: float = 0.0, allow_negative: bool = F
     the origin (needed for parity mode, where negative-t triangle hits are
     accepted — SURVEY §2.9.10).
     """
-    inv = 1.0 / jnp.where(jnp.abs(d) > 1e-30, d, 1e-30)  # [R, 3]
-    t0 = (lo[None, :, :] - o[:, None, :]) * inv[:, None, :]  # [R, C, 3]
-    t1 = (hi[None, :, :] - o[:, None, :]) * inv[:, None, :]
-    tmin = jnp.max(jnp.minimum(t0, t1), axis=2)  # [R, C]
-    tmax = jnp.min(jnp.maximum(t0, t1), axis=2)
-    hit = tmin <= tmax
-    if not allow_negative:
-        hit = hit & (tmax > t_clip)
-    return hit
+    return ray_aabb_entry(
+        o, d, lo, hi, t_clip=t_clip, allow_negative=allow_negative
+    )[0]

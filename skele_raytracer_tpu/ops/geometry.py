@@ -223,7 +223,7 @@ class Hits(NamedTuple):
     normal: jnp.ndarray  # [R, 3] (sphere normal; triangle geometric normal in clean mode)
 
 
-def intersect(o, d, scene, *, quirks: Quirks, backend: str = "jnp") -> Hits:
+def intersect(o, d, scene, *, quirks: Quirks, backend: str = "jnp", live=None) -> Hits:
     """Nearest hit over all scene primitives (the body of `shade`'s search,
     src/raytrace.h:146-187): spheres scanned first, then triangles, where a
     triangle wins only with strictly smaller t.
@@ -238,10 +238,20 @@ def intersect(o, d, scene, *, quirks: Quirks, backend: str = "jnp") -> Hits:
     # The Pallas kernels earn their keep on the triangle axis, where the
     # [R, T] broadcast OOMs HBM at mesh scale and the MXU matmul
     # formulation + cluster culling are the only viable route.
-    sph = nearest_sphere(
-        o, d, scene.spheres.center, scene.spheres.radius, scene.spheres.mask,
-        quirks=quirks,
-    )
+    # ... and skipped statically when the scene has no real spheres
+    # (scene.spheres_active): the padded phantom slots can never hit.
+    if scene.has_spheres:
+        sph = nearest_sphere(
+            o, d, scene.spheres.center, scene.spheres.radius, scene.spheres.mask,
+            quirks=quirks,
+        )
+    else:
+        R = o.shape[0]
+        sph = SphereHits(
+            t=jnp.full((R,), INF),
+            index=jnp.zeros((R,), jnp.int32),
+            hit=jnp.zeros((R,), bool),
+        )
     # The triangle scan is skipped statically for sphere-only scenes (the
     # padded placeholder triangles could never hit, but the [R, T] work and
     # its gradient cost are real).
@@ -265,7 +275,8 @@ def intersect(o, d, scene, *, quirks: Quirks, backend: str = "jnp") -> Hits:
                 from skele_raytracer_tpu.ops.pallas import culled
 
                 t_t, t_idx, t_hit = culled.triangle_nearest_culled(
-                    o_k, d_k, sg(scene.clusters), quirks=quirks
+                    o_k, d_k, sg(scene.clusters), quirks=quirks,
+                    live=None if live is None else sg(live),
                 )
             else:
                 from skele_raytracer_tpu.ops.pallas import intersect as pk
@@ -302,9 +313,12 @@ def intersect(o, d, scene, *, quirks: Quirks, backend: str = "jnp") -> Hits:
     # Sphere normal: normalize(point - center) (src/raytrace.h:199-201).
     # One-hot matmul instead of a gather: the gather's backward is a
     # serial scatter-add (see one_hot_rows).
-    oh = one_hot_rows(sph.index, scene.spheres.mask.shape[0])
-    c = oh @ scene.spheres.center
-    normal = normalize(point - c)
+    if scene.has_spheres:
+        oh = one_hot_rows(sph.index, scene.spheres.mask.shape[0])
+        c = oh @ scene.spheres.center
+        normal = normalize(point - c)
+    else:
+        normal = jnp.zeros_like(point)
     if scene.has_triangles:
         # Triangle geometric normal (clean mode; parity shades triangles
         # black so the normal is unused there): normalize(cross(e1, e2)),

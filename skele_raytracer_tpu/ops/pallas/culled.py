@@ -36,7 +36,9 @@ from skele_raytracer_tpu.ops.pallas.intersect import (
     ray_features,
 )
 
-TILE_R = 512
+TILE_R = 256  # rays per tile: smaller tiles shrink the tile-union cluster
+# footprint of incoherent batches (dragon sweep: 256 beats 512 on every
+# config once the in-kernel front-to-back pretest prunes the tail)
 
 
 def _culled_kernel(
@@ -45,6 +47,8 @@ def _culled_kernel(
     count_ref,  # [n_tiles] int32
     # VMEM inputs
     f_ref,  # [TILE_R, 9]
+    lo_ref,  # [C, 3] cluster AABB lo
+    hi_ref,  # [C, 3] cluster AABB hi
     # HBM inputs (manual DMA)
     kc_ref,  # [C, 9, 4, cs]
     aux_ref,  # [C, 3, cs]  (row 0 = k offsets, row 1 = mask, row 2 = orig index)
@@ -60,10 +64,13 @@ def _culled_kernel(
     t_clip,
     cs,
     resident,
+    allow_negative,
 ):
     i = pl.program_id(0)
     n_active = count_ref[i]
     feats = f_ref[:]
+    d = feats[:, 0:3]
+    o = feats[:, 6:9]
 
     t_ref[:, 0] = jnp.full((feats.shape[0],), _BIG, jnp.float32)
     idx_ref[:, 0] = jnp.full((feats.shape[0],), _BIG_I, jnp.int32)
@@ -82,17 +89,14 @@ def _culled_kernel(
             for c in dma(0, 0):
                 c.start()
 
+    inv_d = 1.0 / jnp.where(jnp.abs(d) > 1e-30, d, 1e-30)
+
     def body(p, _):
         # `resident` (static): cluster blocks live wholly in VMEM — read
         # directly by dynamic leading-axis index, zero DMA (megakernel.py
         # RESIDENT_BUDGET_BYTES rationale).
-        if resident:
-            ci = shortlist_ref[i, p]
-            K = kc_ref[ci].reshape(9, 4 * cs)
-            kof_blk = aux_ref[ci, 0, :]
-            msk_blk = aux_ref[ci, 1, :]
-            orig_row = aux_ref[ci, 2, :]
-        else:
+        ci = shortlist_ref[i, p]
+        if not resident:
             slot = jax.lax.rem(p, 2)
             nxt = jax.lax.rem(p + 1, 2)
 
@@ -104,58 +108,91 @@ def _culled_kernel(
             for c in dma(slot, p):
                 c.wait()
 
-            K = kbuf[slot].reshape(9, 4 * cs)
-            kof_blk = abuf[slot, 0, :]
-            msk_blk = abuf[slot, 1, :]
-            orig_row = abuf[slot, 2, :]
+        # Slab pretest vs the running nearest t (shortlists arrive
+        # front-to-back from the host): the cluster's entry distance is a
+        # lower bound on any t inside it — negative entries included, so
+        # the prune is valid under parity's negative-t acceptance too.
+        lo = lo_ref[pl.ds(ci, 1), :]  # [1, 3]
+        hi = hi_ref[pl.ds(ci, 1), :]
+        t0 = (lo - o) * inv_d
+        t1 = (hi - o) * inv_d
+        tmin = jnp.max(jnp.minimum(t0, t1), axis=1)
+        tmax = jnp.min(jnp.maximum(t0, t1), axis=1)
+        enter = tmin <= tmax
+        if not allow_negative:
+            enter = enter & (tmax > (t_clip or 0.0))
+        pend = enter & (tmin <= t_ref[:, 0])
 
-        prods = jax.lax.dot_general(
-            feats, K, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
-        ).reshape(-1, 4, cs)
-        det = prods[:, 0, :]
-        u_num = sign * prods[:, 1, :]
-        v_num = prods[:, 2, :]
-        t_num = prods[:, 3, :] - kof_blk[None, :]
+        @pl.when(jnp.any(pend))
+        def _():
+            if resident:
+                K = kc_ref[ci].reshape(9, 4 * cs)
+                kof_blk = aux_ref[ci, 0, :]
+                msk_blk = aux_ref[ci, 1, :]
+                orig_row = aux_ref[ci, 2, :]
+            else:
+                slot_ = jax.lax.rem(p, 2)
+                K = kbuf[slot_].reshape(9, 4 * cs)
+                kof_blk = abuf[slot_, 0, :]
+                msk_blk = abuf[slot_, 1, :]
+                orig_row = abuf[slot_, 2, :]
 
-        ok = jnp.abs(det) >= TRIANGLE_DET_EPS
-        inv = jnp.where(ok, 1.0, 0.0) / jnp.where(ok, det, 1.0)
-        u = u_num * inv
-        v = v_num * inv
-        t = t_num * inv
-        valid = (
-            ok & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1)
-            & (msk_blk[None, :] > 0)
-        )
-        if t_clip is not None:
-            valid = valid & (t > t_clip)
-        t_all = jnp.where(valid, t, _BIG)
+            prods = jax.lax.dot_general(
+                feats, K, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            ).reshape(-1, 4, cs)
+            det = prods[:, 0, :]
+            u_num = sign * prods[:, 1, :]
+            v_num = prods[:, 2, :]
+            t_num = prods[:, 3, :] - kof_blk[None, :]
 
-        # Exact-t ties resolve to the MINIMUM ORIGINAL index — the
-        # reference's strict-< scan keeps the first triangle in file order
-        # (src/raytrace.h:176-186), which Morton reordering would otherwise
-        # permute. aux row 2 carries each sorted row's original index.
-        t_blk = jnp.min(t_all, axis=1)
-        is_min = t_all == t_blk[:, None]
-        orig_f = orig_row[None, :]  # [1, cs] original indices (f32)
-        orig_blk = jnp.min(
-            jnp.where(is_min, orig_f, jnp.float32(_BIG_I)), axis=1
-        ).astype(jnp.int32)
-        better = (t_blk < t_ref[:, 0]) | (
-            (t_blk == t_ref[:, 0]) & (orig_blk < idx_ref[:, 0])
-        )
-        t_ref[:, 0] = jnp.where(better, t_blk, t_ref[:, 0])
-        idx_ref[:, 0] = jnp.where(better, orig_blk, idx_ref[:, 0])
+            ok = jnp.abs(det) >= TRIANGLE_DET_EPS
+            inv = jnp.where(ok, 1.0, 0.0) / jnp.where(ok, det, 1.0)
+            u = u_num * inv
+            v = v_num * inv
+            t = t_num * inv
+            valid = (
+                ok & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1)
+                & (msk_blk[None, :] > 0)
+            )
+            if t_clip is not None:
+                valid = valid & (t > t_clip)
+            t_all = jnp.where(valid, t, _BIG)
+
+            # Exact-t ties resolve to the MINIMUM ORIGINAL index — the
+            # reference's strict-< scan keeps the first triangle in file
+            # order (src/raytrace.h:176-186), which Morton reordering would
+            # otherwise permute. aux row 2 carries each sorted row's
+            # original index.
+            t_blk = jnp.min(t_all, axis=1)
+            is_min = t_all == t_blk[:, None]
+            orig_f = orig_row[None, :]  # [1, cs] original indices (f32)
+            orig_blk = jnp.min(
+                jnp.where(is_min, orig_f, jnp.float32(_BIG_I)), axis=1
+            ).astype(jnp.int32)
+            better = (t_blk < t_ref[:, 0]) | (
+                (t_blk == t_ref[:, 0]) & (orig_blk < idx_ref[:, 0])
+            )
+            t_ref[:, 0] = jnp.where(better, t_blk, t_ref[:, 0])
+            idx_ref[:, 0] = jnp.where(better, orig_blk, idx_ref[:, 0])
+
         return 0
 
     jax.lax.fori_loop(0, n_active, body, 0)
 
 
 def _spatial_sort_keys(o, d, lo, hi):
-    """uint32 sort key per ray: 24-bit Morton code of the origin
-    (quantized to the mesh bounds) + 3-bit direction octant. Sorting rays
-    by this key groups spatially/directionally similar rays into the same
-    kernel tile, shrinking per-tile cluster shortlists — the classic
-    wavefront ray-reordering trick, done as one dense argsort."""
+    """uint32 sort key per ray: 7-bit direction bucket (octant + two
+    2-bit quantized axis ratios) in the HIGH bits, 24-bit Morton code of
+    the origin (quantized to the mesh bounds) below. Sorting rays by this
+    key groups directionally-then-spatially similar rays into the same
+    kernel tile — the classic wavefront ray-reordering trick as one dense
+    argsort. DIRECTION-major matters: a ray's cluster footprint is set
+    mostly by where it points (bounce rays from one spot fan out over the
+    whole mesh), and coherent tiles are what let the kernels' per-cluster
+    slab pretests skip work (measured on dragon gillum16: 5.8 s
+    morton-major -> 4.2 s dir-major, before in-kernel pruning)."""
     span = jnp.maximum(hi - lo, 1e-9)
     q = jnp.clip((o - lo) / span * 255.0, 0.0, 255.0).astype(jnp.uint32)
 
@@ -175,11 +212,16 @@ def _spatial_sort_keys(o, d, lo, hi):
         + (d[:, 1] > 0).astype(jnp.uint32) * 2
         + (d[:, 2] > 0).astype(jnp.uint32)
     )
-    return (morton << np.uint32(3)) | octant
+    ad = jnp.abs(d) + 1e-30
+    dmax = jnp.max(ad, axis=1, keepdims=True)
+    u = (ad / dmax * 3.999).astype(jnp.uint32)  # [R, 3] each in 0..3
+    dbucket = (octant << np.uint32(4)) | (u[:, 1] << np.uint32(2)) | u[:, 2]
+    return (dbucket << np.uint32(24)) | morton
 
 
 def triangle_nearest_culled(
-    o, d, mesh: accel.ClusteredMesh, *, quirks: Quirks, reorder: bool = True
+    o, d, mesh: accel.ClusteredMesh, *, quirks: Quirks, reorder: bool = True,
+    live=None,
 ):
     """(t [R], original_index [R] int32, hit [R] bool) — nearest triangle
     via cluster culling. Semantics match the brute-force kernels to float
@@ -191,19 +233,58 @@ def triangle_nearest_culled(
     output is identical; only the per-tile shortlists (and therefore the
     work skipped) change. Costs one argsort + two gathers; pays off
     whenever the ray batch is incoherent (MC bounce rays, shadow rays).
+
+    live: optional [R] f32 mask, nonzero where the ray's result is
+    consumed (zero-throughput path slots are dead). Dead rays sort to the
+    tail, so whole tiles of them get empty shortlists and cost nothing;
+    their outputs are arbitrary (miss) and masked off by the caller.
     """
     R = o.shape[0]
+    feats = ray_features(o, d)
     if reorder:
+        # 1-D gathers/scatters are slow on TPU (sublane-serial); keep the
+        # permutation traffic to ONE [R,9] row gather in (the features,
+        # which carry o and d in columns 6:9 / 0:3 — the slab test below
+        # reconstructs them) and ONE [R,3] row scatter out (the packed
+        # results). Measured on dragon gillum16: the previous per-array
+        # form spent ~0.5 s/frame in these permutes alone.
         keys = _spatial_sort_keys(o, d, mesh.aabb_lo.min(0), mesh.aabb_hi.max(0))
-        order_r = jnp.argsort(keys).astype(jnp.int32)
-        out = triangle_nearest_culled(
-            o[order_r], d[order_r], mesh, quirks=quirks, reorder=False
+        if live is not None:
+            # dead rays sort to a tail of empty tiles; the key doubles as
+            # the liveness channel (live keys are < 2^31 by construction)
+            keys = jnp.where(live > 0, keys, jnp.uint32(0xFFFFFFFF))
+        keys_s, order_r = jax.lax.sort_key_val(
+            keys, jnp.arange(R, dtype=jnp.int32)
         )
-        inv = jnp.zeros((R,), jnp.int32).at[order_r].set(
-            jnp.arange(R, dtype=jnp.int32)
+        live_s = None
+        if live is not None:
+            live_s = (keys_s != jnp.uint32(0xFFFFFFFF)).astype(jnp.float32)
+        t, idx, hit = _culled_from_feats(
+            feats[order_r], mesh, quirks=quirks, live=live_s
         )
-        return tuple(x[inv] for x in out)
+        # ints ride the f32 scatter as VALUES (exact below 2^24), not bit
+        # patterns — small-int bit patterns are f32 denormals, which the
+        # TPU flushes to zero in transit.
+        packed = jnp.stack(
+            [t, idx.astype(jnp.float32), hit.astype(jnp.float32)],
+            axis=1,
+        )
+        unpacked = jnp.zeros((R, 3), jnp.float32).at[order_r].set(packed)
+        return (
+            unpacked[:, 0],
+            unpacked[:, 1].astype(jnp.int32),
+            unpacked[:, 2] > 0,
+        )
+    return _culled_from_feats(feats, mesh, quirks=quirks, live=live)
 
+
+def _culled_from_feats(feats, mesh: accel.ClusteredMesh, *, quirks: Quirks, live=None):
+    """Kernel dispatch on precomputed ray features [R, 9] (columns: d,
+    o x d, o — intersect.ray_features layout, which both the MT matmul and
+    the slab pretest consume)."""
+    R = feats.shape[0]
+    d = feats[:, 0:3]
+    o = feats[:, 6:9]
     sign = 1.0 if quirks.reference_triangle_test else -1.0
     t_clip = None if quirks.reference_triangle_test else CLEAN_T_EPS
     C = mesh.n_clusters
@@ -211,16 +292,24 @@ def triangle_nearest_culled(
     rp = -(-R // TILE_R) * TILE_R
     n_tiles = rp // TILE_R
 
-    # --- host-side (jnp) cull: per-tile cluster shortlist -----------------
-    amask = accel.ray_aabb_mask(
-        o, d, mesh.aabb_lo, mesh.aabb_hi,
+    # --- host-side (jnp) cull: per-tile cluster shortlist, ordered
+    # front-to-back by tile-min entry so the kernel's running-t pretest
+    # can prune the tail ------------------------------------------------
+    # parity culls against the mirror-extended boxes: the reference's
+    # buggy (mirrored-u) test accepts hits outside the true triangle
+    # bounds (accel.ClusteredMesh docstring)
+    cull_lo, cull_hi = mesh.bounds(mirrored=quirks.reference_triangle_test)
+    amask, entry = accel.ray_aabb_entry(
+        o, d, cull_lo, cull_hi,
         allow_negative=quirks.reference_triangle_test,
-    )  # [R, C]
-    amask = _pad_rows(amask, rp).reshape(n_tiles, TILE_R, C)
-    tile_needs = jnp.any(amask, axis=1)  # [n_tiles, C]
-    # Needed clusters first (stable order), padding after.
-    order = jnp.argsort(~tile_needs, axis=1, stable=True).astype(jnp.int32)
-    counts = jnp.sum(tile_needs, axis=1).astype(jnp.int32)
+    )  # [R, C] both
+    if live is not None:
+        amask = amask & (live > 0)[:, None]
+    entry = jnp.where(amask, entry, _BIG)
+    entry = _pad_rows(entry, rp, fill=_BIG).reshape(n_tiles, TILE_R, C)
+    tile_entry = jnp.min(entry, axis=1)  # [n_tiles, C]
+    order = jnp.argsort(tile_entry, axis=1).astype(jnp.int32)
+    counts = jnp.sum(tile_entry < _BIG, axis=1).astype(jnp.int32)
 
     # --- per-cluster constant blocks -------------------------------------
     K, kof = pack_triangles(mesh.v0, mesh.v1, mesh.v2)  # [9,4,Tc], [Tc]
@@ -233,7 +322,7 @@ def triangle_nearest_culled(
         ],
         axis=1,
     )  # [C, 3, cs]
-    feats = _pad_rows(ray_features(o, d), rp, fill=1.0)
+    feats = _pad_rows(feats, rp, fill=1.0)
 
     from skele_raytracer_tpu.ops.pallas.megakernel import (
         RESIDENT_BUDGET_BYTES,
@@ -248,6 +337,8 @@ def triangle_nearest_culled(
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((TILE_R, 9), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # lo
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # hi
             pl.BlockSpec(memory_space=mesh_space),
             pl.BlockSpec(memory_space=mesh_space),
         ],
@@ -263,7 +354,8 @@ def triangle_nearest_culled(
     )
     t, idx = pl.pallas_call(
         functools.partial(
-            _culled_kernel, sign=sign, t_clip=t_clip, cs=cs, resident=resident
+            _culled_kernel, sign=sign, t_clip=t_clip, cs=cs, resident=resident,
+            allow_negative=quirks.reference_triangle_test,
         ),
         grid_spec=grid_spec,
         out_shape=(
@@ -271,7 +363,7 @@ def triangle_nearest_culled(
             jax.ShapeDtypeStruct((rp, 1), jnp.int32),
         ),
         interpret=_interpret(),
-    )(order, counts, feats, kc, aux)
+    )(order, counts, feats, cull_lo, cull_hi, kc, aux)
 
     t, idx = t[:R, 0], idx[:R, 0]
     hit = t < _BIG

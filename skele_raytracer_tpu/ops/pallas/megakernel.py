@@ -53,7 +53,7 @@ from skele_raytracer_tpu.ops.pallas.intersect import (
     ray_features,
 )
 
-TILE_R = 512
+TILE_R = 256  # rays per tile (see culled.py TILE_R rationale)
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -171,6 +171,7 @@ def _megakernel(
     # scalar prefetch
     shortlist_ref,  # [n_tiles, C] int32 — primary-intersect cluster order
     count_ref,  # [n_tiles] int32
+    live_ref,  # [n_tiles] int32 — rays with nonzero path throughput
     # VMEM inputs
     f_ref,  # [TILE_R, 9] primary ray features [d, o x d, o]
     cen_ref,  # [S, 3] sphere centers
@@ -218,253 +219,286 @@ def _megakernel(
     o = feats[:, 6:9]
     R = feats.shape[0]
 
-    # ---------------- primary triangle intersect (shortlisted) ----------
-    tb_sc[:, 0] = jnp.full((R,), _BIG, jnp.float32)
-    ob_sc[:, 0] = jnp.full((R,), _BIG_I, jnp.int32)
-    shade_sc[:] = jnp.zeros((R, _N_SHADE), jnp.float32)
+    # Dead tiles (every ray's path throughput already zero — the
+    # integrator's live mask) cost only these default writes: no
+    # cluster loop, no sphere scan, no shadow slab sweep.
+    out_ref[:, 0:3] = jnp.zeros((R, 3), jnp.float32)
+    out_ref[:, 3] = jnp.full((R,), _BIG, jnp.float32)
+    meta_ref[:] = jnp.zeros(meta_ref.shape, jnp.int32)
+    unsh_ref[:] = jnp.ones(unsh_ref.shape, jnp.float32)
 
-    def dma(slot, pos):
-        ci = shortlist_ref[i, pos]
-        return (
-            pltpu.make_async_copy(kc_ref.at[ci], kbuf.at[slot], sems.at[slot, 0]),
-            pltpu.make_async_copy(aux_ref.at[ci], abuf.at[slot], sems.at[slot, 1]),
-            pltpu.make_async_copy(shd_ref.at[ci], sbuf.at[slot], sems.at[slot, 2]),
-        )
+    @pl.when(live_ref[i] > 0)
+    def _run():
 
-    if not resident:
+        # ---------------- primary triangle intersect (shortlisted) ----------
+        tb_sc[:, 0] = jnp.full((R,), _BIG, jnp.float32)
+        ob_sc[:, 0] = jnp.full((R,), _BIG_I, jnp.int32)
+        shade_sc[:] = jnp.zeros((R, _N_SHADE), jnp.float32)
 
-        @pl.when(n_active > 0)
-        def _():
-            for c in dma(0, 0):
-                c.start()
+        def dma(slot, pos):
+            ci = shortlist_ref[i, pos]
+            return (
+                pltpu.make_async_copy(kc_ref.at[ci], kbuf.at[slot], sems.at[slot, 0]),
+                pltpu.make_async_copy(aux_ref.at[ci], abuf.at[slot], sems.at[slot, 1]),
+                pltpu.make_async_copy(shd_ref.at[ci], sbuf.at[slot], sems.at[slot, 2]),
+            )
 
-    def body(p, _):
-        if resident:
-            ci = shortlist_ref[i, p]
-            K = kc_ref[ci].reshape(9, 4 * cs)
-            kof_blk = aux_ref[ci, 0, :]
-            msk_blk = aux_ref[ci, 1, :]
-            orig_row = aux_ref[ci, 2, :]
-            planes = shd_ref[ci]  # [14, cs]
-        else:
-            slot = jax.lax.rem(p, 2)
-            nxt = jax.lax.rem(p + 1, 2)
+        if not resident:
 
-            @pl.when(p + 1 < n_active)
+            @pl.when(n_active > 0)
             def _():
-                for c in dma(nxt, p + 1):
+                for c in dma(0, 0):
                     c.start()
 
-            for c in dma(slot, p):
-                c.wait()
+        inv_d = 1.0 / jnp.where(jnp.abs(d) > 1e-30, d, 1e-30)
+        w_prim = _cross_cols(o, d)
 
-            K = kbuf[slot].reshape(9, 4 * cs)
-            kof_blk = abuf[slot, 0, :]
-            msk_blk = abuf[slot, 1, :]
-            orig_row = abuf[slot, 2, :]
-            planes = sbuf[slot]
+        def body(p, _):
+            ci = shortlist_ref[i, p]
+            if not resident:
+                slot = jax.lax.rem(p, 2)
+                nxt = jax.lax.rem(p + 1, 2)
 
-        prods = _mt_prods(d, _cross_cols(o, d), o, K)
-        t_all, _ = _mt_tuv(prods, kof_blk, msk_blk)
+                @pl.when(p + 1 < n_active)
+                def _():
+                    for c in dma(nxt, p + 1):
+                        c.start()
 
-        t_blk = jnp.min(t_all, axis=1)
-        is_min = t_all == t_blk[:, None]
-        orig_f = orig_row[None, :]
-        orig_blk_f = jnp.min(
-            jnp.where(is_min, orig_f, jnp.float32(_BIG_I)), axis=1
-        )
-        orig_blk = orig_blk_f.astype(jnp.int32)
-        onehot = (is_min & (orig_f == orig_blk_f[:, None])).astype(jnp.float32)
-        # winner's normal+material from the cluster planes: [R,cs]@[cs,14]
-        shade_blk = jax.lax.dot_general(
-            onehot, planes, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_HI,
-        )  # [R, 14]
+                for c in dma(slot, p):
+                    c.wait()
 
-        better = (t_blk < tb_sc[:, 0]) | (
-            (t_blk == tb_sc[:, 0]) & (orig_blk < ob_sc[:, 0])
-        )
-        shade_sc[:] = jnp.where(better[:, None], shade_blk, shade_sc[:])
-        tb_sc[:, 0] = jnp.where(better, t_blk, tb_sc[:, 0])
-        ob_sc[:, 0] = jnp.where(better, orig_blk, ob_sc[:, 0])
-        return 0
-
-    jax.lax.fori_loop(0, n_active, body, 0)
-    t_best = tb_sc[:, 0]
-    orig_best = ob_sc[:, 0]
-    tri_hit = t_best < _BIG
-
-    # ---------------- spheres -------------------------------------------
-    cen = cen_ref[:]
-    c_const = saux_ref[0, :]
-    s_mask = saux_ref[1, :]
-    S = cen.shape[0]
-    ts_all = _sphere_t_all(o, d, cen, c_const, s_mask, t_clip=CLEAN_T_EPS)
-    t_sph = jnp.min(ts_all, axis=1)
-    cols = jax.lax.broadcasted_iota(jnp.int32, ts_all.shape, 1)
-    idx_sph = jnp.minimum(
-        jnp.min(jnp.where(ts_all == t_sph[:, None], cols, _BIG_I), axis=1),
-        S - 1,
-    )
-    sph_hit = t_sph < _BIG
-
-    tri_wins = tri_hit & (t_best < t_sph)
-    kind = jnp.where(tri_wins, 2, jnp.where(sph_hit, 1, 0)).astype(jnp.int32)
-    index = jnp.where(tri_wins, orig_best, idx_sph)
-    t = jnp.where(tri_wins, t_best, t_sph)
-    t_safe = jnp.where(t < _BIG, t, 0.0)
-    x = o + d * t_safe[:, None]
-
-    onehot_s = (
-        jax.lax.broadcasted_iota(jnp.int32, (R, S), 1) == idx_sph[:, None]
-    ).astype(jnp.float32)
-    c_sel = jax.lax.dot_general(
-        onehot_s, cen, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_HI,
-    )
-    n_sph = _normalize_rows(x - c_sel)
-    # sphere material [R, 11] from planes
-    m_sph = jax.lax.dot_general(
-        onehot_s, smat_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_HI,
-    )
-
-    n_tri = shade_sc[:, 0:3]
-    flip = jnp.sum(n_tri * d, axis=1, keepdims=True) > 0
-    n_tri = jnp.where(flip, -n_tri, n_tri)
-    normal = jnp.where(tri_wins[:, None], n_tri, n_sph)
-    mat = jnp.where(tri_wins[:, None], shade_sc[:, 3:14], m_sph)  # [R, 11]
-    m_amb, m_dif, m_spec = mat[:, 0:3], mat[:, 3:6], mat[:, 6:9]
-    m_pow = mat[:, 9:10]
-
-    shades = (tri_wins | sph_hit)[:, None].astype(jnp.float32)
-
-    cam_pos = const_ref[0, :][None, :]
-    ambient = const_ref[1, :][None, :]
-    view = _normalize_rows(cam_pos - x)
-    direct = ambient * m_amb
-
-    # shadow origin (clean): x + eps * (1 + |x|) * normal
-    x_norm2 = jnp.sum(x * x, axis=1, keepdims=True)
-    pos = x_norm2 > 0
-    x_len = jnp.sqrt(jnp.where(pos, x_norm2, 1.0)) * pos
-    sh_origin = x + CLEAN_T_EPS * (1.0 + x_len) * normal
-    alive = (tri_wins | sph_hit)
-
-    def shadow_occluded(ldir, bound, lmask_scalar):
-        """[R] float 1.0 = occluded, toward unit direction ldir [R, 3];
-        bound [R, 1] max t (point lights) or None (directional).
-        Occlusion state lives in occ_sc (f32 0/1) and is updated in
-        place under pl.when — no vector loop carries (Mosaic cannot
-        legalize them), and clusters no live shadow ray enters cost
-        neither DMA nor FLOPs."""
-        tso = _sphere_t_all(
-            sh_origin, ldir, cen, c_const, s_mask, t_clip=CLEAN_T_EPS
-        )
-        if bound is not None:
-            occ0 = jnp.any(tso < bound, axis=1)
-        else:
-            occ0 = jnp.any(tso < _BIG, axis=1)
-        occ_sc[:, 0] = occ0.astype(jnp.float32)
-
-        w_sh = _cross_cols(sh_origin, ldir)
-        inv_d = jnp.where(jnp.abs(ldir) > 1e-30, ldir, 1e-30)
-        inv_d = 1.0 / inv_d
-
-        def sbody(c, _):
-            lo = lo_ref[pl.ds(c, 1), :]  # [1, 3]
-            hi = hi_ref[pl.ds(c, 1), :]
-            t0 = (lo - sh_origin) * inv_d
-            t1 = (hi - sh_origin) * inv_d
+            # In-kernel slab pretest vs the running nearest t. The host sorts
+            # each tile's shortlist FRONT-TO-BACK (by tile-min entry), so once
+            # every ray's best t undercuts a cluster's entry distance, the
+            # remaining iterations reduce to this [R, 3] test — ordered-BVH
+            # early termination, amortized over the tile.
+            lo = lo_ref[pl.ds(ci, 1), :]  # [1, 3]
+            hi = hi_ref[pl.ds(ci, 1), :]
+            t0 = (lo - o) * inv_d
+            t1 = (hi - o) * inv_d
             tmin = jnp.max(jnp.minimum(t0, t1), axis=1)
             tmax = jnp.min(jnp.maximum(t0, t1), axis=1)
             enter = (tmin <= tmax) & (tmax > CLEAN_T_EPS)
-            if bound is not None:
-                enter = enter & (tmin < bound[:, 0])
-            pend = enter & (occ_sc[:, 0] < 0.5) & alive
-            need = jnp.any(pend) & (lmask_scalar > 0)
+            pend = enter & (tmin <= tb_sc[:, 0])
 
-            @pl.when(need)
+            @pl.when(jnp.any(pend))
             def _():
                 if resident:
-                    K = kc_ref[c].reshape(9, 4 * cs)
-                    kof_blk = aux_ref[c, 0, :]
-                    msk_blk = aux_ref[c, 1, :]
+                    K = kc_ref[ci].reshape(9, 4 * cs)
+                    kof_blk = aux_ref[ci, 0, :]
+                    msk_blk = aux_ref[ci, 1, :]
+                    planes = shd_ref[ci]  # [14, cs]
+                    orig_row = aux_ref[ci, 2, :]
                 else:
-                    k_dma = pltpu.make_async_copy(
-                        kc_ref.at[c], kbuf.at[0], sems.at[0, 0]
-                    )
-                    a_dma = pltpu.make_async_copy(
-                        aux_ref.at[c], abuf.at[0], sems.at[0, 1]
-                    )
-                    k_dma.start()
-                    a_dma.start()
-                    k_dma.wait()
-                    a_dma.wait()
-                    K = kbuf[0].reshape(9, 4 * cs)
-                    kof_blk = abuf[0, 0, :]
-                    msk_blk = abuf[0, 1, :]
-                prods = _mt_prods(ldir, w_sh, sh_origin, K)
-                t_all, valid = _mt_tuv(prods, kof_blk, msk_blk)
-                if bound is not None:
-                    valid = valid & (t_all < bound)
-                occ_sc[:, 0] = jnp.maximum(
-                    occ_sc[:, 0], jnp.any(valid, axis=1).astype(jnp.float32)
+                    slot_ = jax.lax.rem(p, 2)
+                    K = kbuf[slot_].reshape(9, 4 * cs)
+                    kof_blk = abuf[slot_, 0, :]
+                    msk_blk = abuf[slot_, 1, :]
+                    orig_row = abuf[slot_, 2, :]
+                    planes = sbuf[slot_]
+
+                prods = _mt_prods(d, w_prim, o, K)
+                t_all, _ = _mt_tuv(prods, kof_blk, msk_blk)
+
+                t_blk = jnp.min(t_all, axis=1)
+                is_min = t_all == t_blk[:, None]
+                orig_f = orig_row[None, :]
+                orig_blk_f = jnp.min(
+                    jnp.where(is_min, orig_f, jnp.float32(_BIG_I)), axis=1
                 )
+                orig_blk = orig_blk_f.astype(jnp.int32)
+                onehot = (is_min & (orig_f == orig_blk_f[:, None])).astype(jnp.float32)
+                # winner's normal+material from the cluster planes: [R,cs]@[cs,14]
+                shade_blk = jax.lax.dot_general(
+                    onehot, planes, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=_HI,
+                )  # [R, 14]
+
+                better = (t_blk < tb_sc[:, 0]) | (
+                    (t_blk == tb_sc[:, 0]) & (orig_blk < ob_sc[:, 0])
+                )
+                shade_sc[:] = jnp.where(better[:, None], shade_blk, shade_sc[:])
+                tb_sc[:, 0] = jnp.where(better, t_blk, tb_sc[:, 0])
+                ob_sc[:, 0] = jnp.where(better, orig_blk, ob_sc[:, 0])
 
             return 0
 
-        jax.lax.fori_loop(0, n_clusters, sbody, 0)
-        return occ_sc[:, 0]
+        jax.lax.fori_loop(0, n_active, body, 0)
+        t_best = tb_sc[:, 0]
+        orig_best = ob_sc[:, 0]
+        tri_hit = t_best < _BIG
 
-    # ---------------- point lights --------------------------------------
-    Lp = plp_ref.shape[0]
-    for l in range(Lp):
-        lpos = plp_ref[l, :][None, :]  # [1, 3]
-        lcol = plc_ref[l, 0:3][None, :]
-        lmask = plc_ref[l, 3]
-        l_vec = lpos - x
-        d2 = jnp.sum(l_vec * l_vec, axis=1, keepdims=True)
-        d_l = jnp.sqrt(jnp.maximum(d2, 1e-30))
-        ldir = l_vec / jnp.maximum(d_l, 1e-30)
-        if use_shadows:
-            unsh = 1.0 - shadow_occluded(ldir, d_l, lmask)
-        else:
-            unsh = jnp.ones((R,), jnp.float32)
-        unsh_ref[:, l] = unsh
-        gate = lmask * unsh[:, None] * shades
+        # ---------------- spheres -------------------------------------------
+        cen = cen_ref[:]
+        c_const = saux_ref[0, :]
+        s_mask = saux_ref[1, :]
+        S = cen.shape[0]
+        ts_all = _sphere_t_all(o, d, cen, c_const, s_mask, t_clip=CLEAN_T_EPS)
+        t_sph = jnp.min(ts_all, axis=1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, ts_all.shape, 1)
+        idx_sph = jnp.minimum(
+            jnp.min(jnp.where(ts_all == t_sph[:, None], cols, _BIG_I), axis=1),
+            S - 1,
+        )
+        sph_hit = t_sph < _BIG
 
-        intensity = 1.0 / jnp.maximum(d2, 1e-30)
-        ndotl = jnp.maximum(0.0, jnp.sum(normal * ldir, axis=1, keepdims=True))
-        h = _normalize_rows(view + ldir)
-        ndoth = jnp.maximum(0.0, jnp.sum(normal * h, axis=1, keepdims=True))
-        spec = jnp.power(jnp.maximum(ndoth, 1e-30), m_pow) * (ndoth > 0)
-        direct += gate * lcol * intensity * (m_dif * ndotl + m_spec * spec)
+        tri_wins = tri_hit & (t_best < t_sph)
+        kind = jnp.where(tri_wins, 2, jnp.where(sph_hit, 1, 0)).astype(jnp.int32)
+        index = jnp.where(tri_wins, orig_best, idx_sph)
+        t = jnp.where(tri_wins, t_best, t_sph)
+        t_safe = jnp.where(t < _BIG, t, 0.0)
+        x = o + d * t_safe[:, None]
 
-    # ---------------- directional lights --------------------------------
-    Ld = dld_ref.shape[0]
-    for l in range(Ld):
-        ldir_row = dld_ref[l, :][None, :]  # unit, toward light
-        lcol = dlc_ref[l, 0:3][None, :]
-        lmask = dlc_ref[l, 3]
-        ldir = jnp.broadcast_to(ldir_row, x.shape)
-        if use_shadows:
-            unsh = 1.0 - shadow_occluded(ldir, None, lmask)
-        else:
-            unsh = jnp.ones((R,), jnp.float32)
-        unsh_ref[:, Lp + l] = unsh
-        gate = lmask * unsh[:, None] * shades
+        onehot_s = (
+            jax.lax.broadcasted_iota(jnp.int32, (R, S), 1) == idx_sph[:, None]
+        ).astype(jnp.float32)
+        c_sel = jax.lax.dot_general(
+            onehot_s, cen, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HI,
+        )
+        n_sph = _normalize_rows(x - c_sel)
+        # sphere material [R, 11] from planes
+        m_sph = jax.lax.dot_general(
+            onehot_s, smat_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_HI,
+        )
 
-        ndotl = jnp.maximum(0.0, jnp.sum(normal * ldir, axis=1, keepdims=True))
-        h = _normalize_rows(view + ldir)
-        ndoth = jnp.maximum(0.0, jnp.sum(normal * h, axis=1, keepdims=True))
-        spec = jnp.power(jnp.maximum(ndoth, 1e-30), m_pow) * (ndoth > 0)
-        direct += gate * lcol * (m_dif * ndotl + m_spec * spec)
+        n_tri = shade_sc[:, 0:3]
+        flip = jnp.sum(n_tri * d, axis=1, keepdims=True) > 0
+        n_tri = jnp.where(flip, -n_tri, n_tri)
+        normal = jnp.where(tri_wins[:, None], n_tri, n_sph)
+        mat = jnp.where(tri_wins[:, None], shade_sc[:, 3:14], m_sph)  # [R, 11]
+        m_amb, m_dif, m_spec = mat[:, 0:3], mat[:, 3:6], mat[:, 6:9]
+        m_pow = mat[:, 9:10]
 
-    out_ref[:, 0:3] = direct
-    out_ref[:, 3] = t
-    meta_ref[:, 0] = kind
-    meta_ref[:, 1] = index
+        shades = (tri_wins | sph_hit)[:, None].astype(jnp.float32)
+
+        cam_pos = const_ref[0, :][None, :]
+        ambient = const_ref[1, :][None, :]
+        view = _normalize_rows(cam_pos - x)
+        direct = ambient * m_amb
+
+        # shadow origin (clean): x + eps * (1 + |x|) * normal
+        x_norm2 = jnp.sum(x * x, axis=1, keepdims=True)
+        pos = x_norm2 > 0
+        x_len = jnp.sqrt(jnp.where(pos, x_norm2, 1.0)) * pos
+        sh_origin = x + CLEAN_T_EPS * (1.0 + x_len) * normal
+        alive = (tri_wins | sph_hit)
+
+        def shadow_occluded(ldir, bound, lmask_scalar):
+            """[R] float 1.0 = occluded, toward unit direction ldir [R, 3];
+            bound [R, 1] max t (point lights) or None (directional).
+            Occlusion state lives in occ_sc (f32 0/1) and is updated in
+            place under pl.when — no vector loop carries (Mosaic cannot
+            legalize them), and clusters no live shadow ray enters cost
+            neither DMA nor FLOPs."""
+            tso = _sphere_t_all(
+                sh_origin, ldir, cen, c_const, s_mask, t_clip=CLEAN_T_EPS
+            )
+            if bound is not None:
+                occ0 = jnp.any(tso < bound, axis=1)
+            else:
+                occ0 = jnp.any(tso < _BIG, axis=1)
+            occ_sc[:, 0] = occ0.astype(jnp.float32)
+
+            w_sh = _cross_cols(sh_origin, ldir)
+            inv_d = jnp.where(jnp.abs(ldir) > 1e-30, ldir, 1e-30)
+            inv_d = 1.0 / inv_d
+
+            def sbody(c, _):
+                lo = lo_ref[pl.ds(c, 1), :]  # [1, 3]
+                hi = hi_ref[pl.ds(c, 1), :]
+                t0 = (lo - sh_origin) * inv_d
+                t1 = (hi - sh_origin) * inv_d
+                tmin = jnp.max(jnp.minimum(t0, t1), axis=1)
+                tmax = jnp.min(jnp.maximum(t0, t1), axis=1)
+                enter = (tmin <= tmax) & (tmax > CLEAN_T_EPS)
+                if bound is not None:
+                    enter = enter & (tmin < bound[:, 0])
+                pend = enter & (occ_sc[:, 0] < 0.5) & alive
+                need = jnp.any(pend) & (lmask_scalar > 0)
+
+                @pl.when(need)
+                def _():
+                    if resident:
+                        K = kc_ref[c].reshape(9, 4 * cs)
+                        kof_blk = aux_ref[c, 0, :]
+                        msk_blk = aux_ref[c, 1, :]
+                    else:
+                        k_dma = pltpu.make_async_copy(
+                            kc_ref.at[c], kbuf.at[0], sems.at[0, 0]
+                        )
+                        a_dma = pltpu.make_async_copy(
+                            aux_ref.at[c], abuf.at[0], sems.at[0, 1]
+                        )
+                        k_dma.start()
+                        a_dma.start()
+                        k_dma.wait()
+                        a_dma.wait()
+                        K = kbuf[0].reshape(9, 4 * cs)
+                        kof_blk = abuf[0, 0, :]
+                        msk_blk = abuf[0, 1, :]
+                    prods = _mt_prods(ldir, w_sh, sh_origin, K)
+                    t_all, valid = _mt_tuv(prods, kof_blk, msk_blk)
+                    if bound is not None:
+                        valid = valid & (t_all < bound)
+                    occ_sc[:, 0] = jnp.maximum(
+                        occ_sc[:, 0], jnp.any(valid, axis=1).astype(jnp.float32)
+                    )
+
+                return 0
+
+            jax.lax.fori_loop(0, n_clusters, sbody, 0)
+            return occ_sc[:, 0]
+
+        # ---------------- point lights --------------------------------------
+        Lp = plp_ref.shape[0]
+        for l in range(Lp):
+            lpos = plp_ref[l, :][None, :]  # [1, 3]
+            lcol = plc_ref[l, 0:3][None, :]
+            lmask = plc_ref[l, 3]
+            l_vec = lpos - x
+            d2 = jnp.sum(l_vec * l_vec, axis=1, keepdims=True)
+            d_l = jnp.sqrt(jnp.maximum(d2, 1e-30))
+            ldir = l_vec / jnp.maximum(d_l, 1e-30)
+            if use_shadows:
+                unsh = 1.0 - shadow_occluded(ldir, d_l, lmask)
+            else:
+                unsh = jnp.ones((R,), jnp.float32)
+            unsh_ref[:, l] = unsh
+            gate = lmask * unsh[:, None] * shades
+
+            intensity = 1.0 / jnp.maximum(d2, 1e-30)
+            ndotl = jnp.maximum(0.0, jnp.sum(normal * ldir, axis=1, keepdims=True))
+            h = _normalize_rows(view + ldir)
+            ndoth = jnp.maximum(0.0, jnp.sum(normal * h, axis=1, keepdims=True))
+            spec = jnp.power(jnp.maximum(ndoth, 1e-30), m_pow) * (ndoth > 0)
+            direct += gate * lcol * intensity * (m_dif * ndotl + m_spec * spec)
+
+        # ---------------- directional lights --------------------------------
+        Ld = dld_ref.shape[0]
+        for l in range(Ld):
+            ldir_row = dld_ref[l, :][None, :]  # unit, toward light
+            lcol = dlc_ref[l, 0:3][None, :]
+            lmask = dlc_ref[l, 3]
+            ldir = jnp.broadcast_to(ldir_row, x.shape)
+            if use_shadows:
+                unsh = 1.0 - shadow_occluded(ldir, None, lmask)
+            else:
+                unsh = jnp.ones((R,), jnp.float32)
+            unsh_ref[:, Lp + l] = unsh
+            gate = lmask * unsh[:, None] * shades
+
+            ndotl = jnp.maximum(0.0, jnp.sum(normal * ldir, axis=1, keepdims=True))
+            h = _normalize_rows(view + ldir)
+            ndoth = jnp.maximum(0.0, jnp.sum(normal * h, axis=1, keepdims=True))
+            spec = jnp.power(jnp.maximum(ndoth, 1e-30), m_pow) * (ndoth > 0)
+            direct += gate * lcol * (m_dif * ndotl + m_spec * spec)
+
+        out_ref[:, 0:3] = direct
+        out_ref[:, 3] = t
+        meta_ref[:, 0] = kind
+        meta_ref[:, 1] = index
 
 
 def _pack_shade_planes(mesh: accel.ClusteredMesh, tri_table):
@@ -490,39 +524,99 @@ def _pack_shade_planes(mesh: accel.ClusteredMesh, tri_table):
     return planes.reshape(C, cs, _N_SHADE).transpose(0, 2, 1)  # [C, 14, cs]
 
 
-def fused_shade_forward(o, d, scene, *, use_shadows, reorder=True):
+def fused_shade_forward(o, d, scene, *, use_shadows, live=None, reorder=True):
     """Run the megakernel: (direct [R,3], t [R], kind [R] i32,
-    index [R] i32, unshadowed [R, Lp+Ld] float). Forward-only."""
+    index [R] i32, unshadowed [R, Lp+Ld] float). Forward-only.
+
+    live: optional [R] f32 mask (1.0 = ray still carries throughput).
+    Dead rays are sorted to the END of the batch and excluded from every
+    per-tile shortlist; all-dead tiles exit after writing defaults. For
+    MC bounce batches this is the dominant saving: on dragon 640x480 only
+    ~8%% of primary rays hit the mesh, so ~92%% of bounce-ray slots carry
+    zero throughput — without the mask they'd still pay full intersection
+    plus shadow sweeps for radiance that is multiplied by zero.
+    """
     mesh = scene.clusters
     R = o.shape[0]
+    feats = ray_features(o, d)
     if reorder:
+        # One [R,9] row gather in (features carry o/d in columns 6:9 /
+        # 0:3), one [R,6+L] row scatter out — 1-D permutes are
+        # sublane-serial on TPU and were ~0.5 s/frame in the per-array
+        # form (culled.py has the same structure and rationale).
         from skele_raytracer_tpu.ops.pallas.culled import _spatial_sort_keys
 
         keys = _spatial_sort_keys(o, d, mesh.aabb_lo.min(0), mesh.aabb_hi.max(0))
-        order_r = jnp.argsort(keys).astype(jnp.int32)
-        out = fused_shade_forward(
-            o[order_r], d[order_r], scene,
-            use_shadows=use_shadows, reorder=False,
+        if live is not None:
+            # dead rays last, grouped into all-dead (near-free) tiles
+            keys = jnp.where(live > 0, keys >> jnp.uint32(1),
+                             jnp.uint32(0xFFFFFFFF))
+        keys_s, order_r = jax.lax.sort_key_val(
+            keys, jnp.arange(R, dtype=jnp.int32)
         )
-        inv = jnp.zeros((R,), jnp.int32).at[order_r].set(
-            jnp.arange(R, dtype=jnp.int32)
+        live_s = None
+        if live is not None:
+            live_s = (keys_s != jnp.uint32(0xFFFFFFFF)).astype(jnp.float32)
+        direct, t, kind, index, unsh = _fused_from_feats(
+            feats[order_r], scene, use_shadows=use_shadows, live=live_s
         )
-        return tuple(x[inv] for x in out)
+        # ints ride the f32 scatter as VALUES (exact below 2^24), not bit
+        # patterns — small-int bit patterns are f32 denormals, which the
+        # TPU flushes to zero in transit. t can be +inf (miss): swap it
+        # for _BIG across the permute and restore after.
+        packed = jnp.concatenate(
+            [
+                direct,
+                jnp.minimum(t, _BIG)[:, None],
+                kind.astype(jnp.float32)[:, None],
+                index.astype(jnp.float32)[:, None],
+                unsh,
+            ],
+            axis=1,
+        )
+        up = jnp.zeros(packed.shape, jnp.float32).at[order_r].set(packed)
+        t_u = up[:, 3]
+        return (
+            up[:, 0:3],
+            jnp.where(t_u >= _BIG, jnp.inf, t_u),
+            up[:, 4].astype(jnp.int32),
+            up[:, 5].astype(jnp.int32),
+            up[:, 6:],
+        )
+    return _fused_from_feats(feats, scene, use_shadows=use_shadows, live=live)
 
+
+def _fused_from_feats(feats, scene, *, use_shadows, live=None):
+    """Megakernel dispatch on precomputed ray features [R, 9] (columns:
+    d, o x d, o)."""
+    mesh = scene.clusters
+    R = feats.shape[0]
+    d = feats[:, 0:3]
+    o = feats[:, 6:9]
     C = mesh.n_clusters
     cs = mesh.v0.shape[0] // C
     rp = -(-R // TILE_R) * TILE_R
     n_tiles = rp // TILE_R
 
-    # host-side shortlist for the PRIMARY rays (shadow rays cull in-kernel)
-    amask = accel.ray_aabb_mask(
+    # host-side shortlist for the PRIMARY rays (shadow rays cull
+    # in-kernel), ordered FRONT-TO-BACK by each tile's minimum entry
+    # distance so the kernel's running-t pretest can prune the tail.
+    amask, entry = accel.ray_aabb_entry(
         o, d, mesh.aabb_lo, mesh.aabb_hi, allow_negative=False,
         t_clip=CLEAN_T_EPS,
     )
-    amask = _pad_rows(amask, rp).reshape(n_tiles, TILE_R, C)
-    tile_needs = jnp.any(amask, axis=1)
-    order = jnp.argsort(~tile_needs, axis=1, stable=True).astype(jnp.int32)
-    counts = jnp.sum(tile_needs, axis=1).astype(jnp.int32)
+    if live is not None:
+        amask = amask & (live > 0)[:, None]
+    entry = jnp.where(amask, entry, _BIG)
+    entry = _pad_rows(entry, rp, fill=_BIG).reshape(n_tiles, TILE_R, C)
+    tile_entry = jnp.min(entry, axis=1)  # [n_tiles, C]
+    order = jnp.argsort(tile_entry, axis=1).astype(jnp.int32)
+    counts = jnp.sum(tile_entry < _BIG, axis=1).astype(jnp.int32)
+    if live is None:
+        lives = jnp.full((n_tiles,), TILE_R, jnp.int32)
+    else:
+        live_t = _pad_rows(live[:, None], rp).reshape(n_tiles, TILE_R)
+        lives = jnp.sum((live_t > 0).astype(jnp.int32), axis=1)
 
     K, kof = pack_triangles(mesh.v0, mesh.v1, mesh.v2)
     kc = K.reshape(9, 4, C, cs).transpose(2, 0, 1, 3)
@@ -535,7 +629,7 @@ def fused_shade_forward(o, d, scene, *, use_shadows, reorder=True):
         axis=1,
     )
     shd = _pack_shade_planes(mesh, scene.triangles)
-    feats = _pad_rows(ray_features(o, d), rp, fill=1.0)
+    feats = _pad_rows(feats, rp, fill=1.0)
 
     sph = scene.spheres
     cen = sph.center
@@ -563,7 +657,7 @@ def fused_shade_forward(o, d, scene, *, use_shadows, reorder=True):
     mesh_space = pltpu.VMEM if resident else pl.ANY
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((TILE_R, 9), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
@@ -609,7 +703,7 @@ def fused_shade_forward(o, d, scene, *, use_shadows, reorder=True):
             jax.ShapeDtypeStruct((rp, L_out), jnp.float32),
         ),
         interpret=_interpret(),
-    )(order, counts, feats, cen, saux, smat, plp, plc, dld, dlc, const,
+    )(order, counts, lives, feats, cen, saux, smat, plp, plc, dld, dlc, const,
       mesh.aabb_lo, mesh.aabb_hi, kc, aux, shd)
 
     direct = out[:R, 0:3]
@@ -747,21 +841,27 @@ def hit_geometry(o, d, scene, kind, index, t):
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3,))
-def fused_shade(o, d, scene, use_shadows):
+def fused_shade(o, d, scene, use_shadows, live=None):
     """(direct [R,3], t [R], kind, index, unshadowed) with the megakernel
-    forward and a replay-from-hit-structure backward (module docstring)."""
+    forward and a replay-from-hit-structure backward (module docstring).
+
+    live: optional [R] f32 throughput mask (see fused_shade_forward) —
+    discrete routing data, carries no gradient."""
     sg = jax.lax.stop_gradient
-    return fused_shade_forward(sg(o), sg(d), sg(scene), use_shadows=use_shadows)
+    return fused_shade_forward(
+        sg(o), sg(d), sg(scene), use_shadows=use_shadows,
+        live=None if live is None else sg(live),
+    )
 
 
-def _fused_fwd(o, d, scene, use_shadows):
-    out = fused_shade(o, d, scene, use_shadows)
+def _fused_fwd(o, d, scene, use_shadows, live=None):
+    out = fused_shade(o, d, scene, use_shadows, live)
     direct, t, kind, index, unsh = out
-    return out, (o, d, scene, kind, index, unsh)
+    return out, (o, d, scene, live, kind, index, unsh)
 
 
 def _fused_bwd(use_shadows, res, g):
-    o, d, scene, kind, index, unsh = res
+    o, d, scene, live, kind, index, unsh = res
     g_direct, g_t, _, _, _ = g
 
     def replay(o_, d_, scene_):
@@ -770,7 +870,8 @@ def _fused_bwd(use_shadows, res, g):
         )
 
     _, vjp = jax.vjp(replay, o, d, scene)
-    return vjp((g_direct, g_t))
+    g_live = None if live is None else jnp.zeros_like(live)
+    return vjp((g_direct, g_t)) + (g_live,)
 
 
 fused_shade.defvjp(_fused_fwd, _fused_bwd)

@@ -116,7 +116,7 @@ def gather_material(scene, kind, index, *, quirks: Quirks) -> GatheredMaterial:
     return _unpack_material(vals)
 
 
-def _shadow_mask(x, normal, scene, cfg: RenderConfig, l_vec, light_dist=None):
+def _shadow_mask(x, normal, scene, cfg: RenderConfig, l_vec, light_dist=None, live=None):
     """not-shadowed mask [R, L] for shadow rays from x toward each light.
 
     Replicates `shadow()` (src/utils.h:42-76): origin offset is the scalar
@@ -153,14 +153,17 @@ def _shadow_mask(x, normal, scene, cfg: RenderConfig, l_vec, light_dist=None):
     cols = []
     for l in range(L):
         direction = normalize(l_vec[:, l, :])
-        t_sph = ray_sphere_all(
-            origin, direction, scene.spheres.center, scene.spheres.radius,
-            scene.spheres.mask, t_clip=t_clip,
-        )  # [R, S]
-        if bound:
-            occ = jnp.any(t_sph < light_dist[:, l, None], axis=1)
+        if scene.has_spheres:
+            t_sph = ray_sphere_all(
+                origin, direction, scene.spheres.center, scene.spheres.radius,
+                scene.spheres.mask, t_clip=t_clip,
+            )  # [R, S]
+            if bound:
+                occ = jnp.any(t_sph < light_dist[:, l, None], axis=1)
+            else:
+                occ = jnp.any(jnp.isfinite(t_sph), axis=1)
         else:
-            occ = jnp.any(jnp.isfinite(t_sph), axis=1)
+            occ = jnp.zeros((R,), bool)
         if not quirks.sphere_only_shadows and scene.has_triangles:
             if use_culled:
                 # Mesh-scale occlusion: the [R, T] broadcast would OOM on
@@ -175,7 +178,8 @@ def _shadow_mask(x, normal, scene, cfg: RenderConfig, l_vec, light_dist=None):
 
                 sg = _jax.lax.stop_gradient
                 t_tri_n, _, ok_any = culled.triangle_nearest_culled(
-                    sg(origin), sg(direction), sg(scene.clusters), quirks=quirks
+                    sg(origin), sg(direction), sg(scene.clusters), quirks=quirks,
+                    live=None if live is None else sg(live),
                 )
                 if bound:
                     occ = occ | (ok_any & (t_tri_n < light_dist[:, l]))
@@ -236,7 +240,7 @@ def _fog_term(scene, mat, prim_center, l, x, n, light_pos, light_col, fog_u):
 
 
 def direct_illumination(
-    x, n, scene, mat, prim_center, cfg: RenderConfig, fog_u=None
+    x, n, scene, mat, prim_center, cfg: RenderConfig, fog_u=None, live=None
 ):
     """ambient + diffuse + specular at the hit points — the REACHABLE body
     of the reference's direct_illumination (src/raytrace.h:36-44; the
@@ -256,14 +260,17 @@ def direct_illumination(
     # so the whole block — including its shadow rays — folds away.
     # Directional lights are unaffected (no fog reroute in the reference's
     # directional loops) but are dropped in parity mode anyway.
-    if not (scene.has_fog and scene.fog_zeroed):
+    # Skipped entirely (static) when none parsed (scene.point_active):
+    # phantom padded slots contribute zero but would still launch a full
+    # per-light shadow sweep per chunk.
+    if scene.has_point_lights and not (scene.has_fog and scene.fog_zeroed):
         plights = scene.point_lights
         l_vec = plights.position[None, :, :] - x[:, None, :]  # [R, L, 3]
         d_l = norm(l_vec)  # [R, L]
         l = l_vec / jnp.maximum(d_l, 1e-30)[:, :, None]
         lmask = plights.mask[None, :]  # [1, L]
         if cfg.use_shadows:
-            unshadowed = _shadow_mask(x, n, scene, cfg, l_vec, light_dist=d_l)
+            unshadowed = _shadow_mask(x, n, scene, cfg, l_vec, light_dist=d_l, live=live)
         else:
             unshadowed = jnp.ones_like(d_l, bool)
         gate = lmask * unshadowed  # [R, L]
@@ -304,7 +311,7 @@ def direct_illumination(
         ld = jnp.broadcast_to(ld, (x.shape[0],) + ld.shape[1:])
         dmask = dlights.mask[None, :]
         if cfg.use_shadows:
-            unshadowed_d = _shadow_mask(x, n, scene, cfg, ld, light_dist=None)
+            unshadowed_d = _shadow_mask(x, n, scene, cfg, ld, light_dist=None, live=live)
         else:
             unshadowed_d = jnp.ones((x.shape[0], dlights.mask.shape[0]), bool)
         gate_d = dmask * unshadowed_d

@@ -150,6 +150,13 @@ class Scene:
     fog_active: bool = struct.field(pytree_node=False, default=False)
     triangles_active: bool = struct.field(pytree_node=False, default=False)
     directional_active: bool = struct.field(pytree_node=False, default=False)
+    # Whether ANY real point light / sphere exists. The padded tables
+    # always hold >= 1 (>= 8) slots, so without these flags a scene lit
+    # only by a directional light still pays a full per-light shadow
+    # sweep (a triangle-kernel launch per chunk) for a masked phantom
+    # slot — measured ~5% of the dragon gillum16 frame.
+    point_active: bool = struct.field(pytree_node=False, default=False)
+    spheres_active: bool = struct.field(pytree_node=False, default=False)
     # Parity's stand-in for the reference's uninitialized fog (SURVEY §2.9.6)
     # is all-zero parameters, which makes the fog-rerouted diffuse+specular
     # terms IDENTICALLY zero (exp(0)=1 -> never "interacts"; albedo=0 kills
@@ -174,6 +181,14 @@ class Scene:
     @property
     def has_directional(self) -> bool:
         return self.directional_active
+
+    @property
+    def has_point_lights(self) -> bool:
+        return self.point_active
+
+    @property
+    def has_spheres(self) -> bool:
+        return self.spheres_active
 
 
 def refresh_clusters(scene: Scene) -> Scene:
@@ -284,6 +299,8 @@ def make_scene(
         fog_active=len(fog) > 0,
         triangles_active=len(triangles) > 0,
         directional_active=len(directional_lights) > 0,
+        point_active=len(point_lights) > 0,
+        spheres_active=len(spheres) > 0,
         fog_zeroed=fog_zeroed,
         clusters=clusters,
     )

@@ -134,11 +134,21 @@ def make_mesh_scene(t=700, seed=12):
             v0=tuple(v0), v1=tuple(v0 + rng.normal(size=3)),
             v2=tuple(v0 + rng.normal(size=3)), **mat,
         ))
-    return make_scene(
+    scene = make_scene(
         triangles=tris,
         spheres=[dict(center=(0, -60, 0), radius=50.0, **mat)],
         point_lights=[dict(position=(0, 20, -10), colour=(200, 200, 200))],
         ambient=(0.2, 0.2, 0.2),
         camera_position=(0, 0, -14), camera_direction=(0, 0, 1),
         camera_up=(0, 1, 0), background=(0.05, 0.1, 0.15),
+    )
+    # Rebuild with a small cluster size so this test-scale mesh still
+    # exceeds the culled path's n_clusters > 4 gate regardless of the
+    # production CLUSTER_SIZE default.
+    from skele_raytracer_tpu.ops import accel
+
+    tr = scene.triangles
+    return scene.replace(
+        clusters=accel.build_clusters(tr.v0, tr.v1, tr.v2, tr.mask,
+                                      cluster_size=64)
     )

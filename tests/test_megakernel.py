@@ -38,12 +38,21 @@ def _dir_scene():
             v0=tuple(v0), v1=tuple(v0 + rng.normal(size=3)),
             v2=tuple(v0 + rng.normal(size=3)), **mat,
         ))
-    return make_scene(
+    scene = make_scene(
         triangles=tris,
         directional_lights=[dict(direction=(1, -1, -1), colour=(0.8, 0.8, 0.8))],
         ambient=(0.2, 0.2, 0.2),
         camera_position=(0, 0.5, -12), camera_direction=(0, 0, 1),
         camera_up=(0, 1, 0), background=(0.125, 0.5, 1.0),
+    )
+    # Small cluster size: keep this test-scale mesh above the culled
+    # path's n_clusters > 4 gate regardless of the production default.
+    from skele_raytracer_tpu.ops import accel
+
+    tr = scene.triangles
+    return scene.replace(
+        clusters=accel.build_clusters(tr.v0, tr.v1, tr.v2, tr.mask,
+                                      cluster_size=64)
     )
 
 
@@ -62,7 +71,10 @@ def _jnp_reference(scene, cfg, o, d):
 ], ids=["point_light_shadows", "point_light_noshadow", "directional_shadows"])
 def test_fused_shade_matches_jnp(scene_fn, shadows):
     scene = scene_fn()
-    cfg = RenderConfig(quirks=CLEAN, use_shadows=shadows, backend="pallas")
+    cfg = RenderConfig(
+        quirks=CLEAN, use_shadows=shadows, backend="pallas",
+        fused_megakernel=True,
+    )
     assert _use_megakernel(scene, cfg)
     rng = np.random.default_rng(17)
     R = 700
@@ -96,7 +108,7 @@ def test_megakernel_render_matches_jnp(mc):
     cfg = RenderConfig(
         width=20, height=14, use_shadows=True, quirks=CLEAN,
         max_depth=2, monte_carlo=mc, num_paths=2 if mc else 1,
-        rays_per_chunk=1 << 9,
+        rays_per_chunk=1 << 9, fused_megakernel=True,
     )
     img_jnp = np.asarray(render_radiance(scene, cfg, jnp.uint32(4)))
     img_mk = np.asarray(
@@ -113,7 +125,7 @@ def test_megakernel_grad_matches_jnp():
     scene = _dir_scene()
     cfg = RenderConfig(
         width=16, height=12, use_shadows=True, quirks=CLEAN, max_depth=1,
-        rays_per_chunk=1 << 9,
+        rays_per_chunk=1 << 9, fused_megakernel=True,
     )
 
     def loss(s, backend):
