@@ -45,6 +45,8 @@ def _culled_kernel(
     # scalar prefetch
     shortlist_ref,  # [n_tiles, C] int32
     count_ref,  # [n_tiles] int32
+    # SMEM input
+    ent_ref,  # [n_tiles, C+1] f32 sorted cluster entry distances
     # VMEM inputs
     f_ref,  # [TILE_R, 9]
     lo_ref,  # [C, 3] cluster AABB lo
@@ -56,6 +58,7 @@ def _culled_kernel(
     t_ref,  # [TILE_R, 1]
     idx_ref,  # [TILE_R, 1]  ORIGINAL triangle index of the winner
     # scratch
+    done_ref,  # SMEM [1, 1] int32 — 1 once no later cluster can improve
     kbuf,  # [2, 9, 4, cs]
     abuf,  # [2, 3, cs]
     sems,  # DMA sems [2, 2]
@@ -74,6 +77,7 @@ def _culled_kernel(
 
     t_ref[:, 0] = jnp.full((feats.shape[0],), _BIG, jnp.float32)
     idx_ref[:, 0] = jnp.full((feats.shape[0],), _BIG_I, jnp.int32)
+    done_ref[0, 0] = 0
 
     def dma(slot, pos):
         ci = shortlist_ref[i, pos]
@@ -91,10 +95,38 @@ def _culled_kernel(
 
     inv_d = 1.0 / jnp.where(jnp.abs(d) > 1e-30, d, 1e-30)
 
+    if resident:
+        # Per-ray settle bound for the early exit: a ray can never hit
+        # past its EXIT from the root AABB (every cluster is inside it,
+        # so a cluster's per-ray entry <= the root exit). min(t, exit)
+        # lets tiles full of MISS rays terminate too — without it a
+        # single miss (t stuck at _BIG) pins the tile to its full
+        # shortlist.
+        root_lo = jnp.min(lo_ref[:], axis=0)[None, :]
+        root_hi = jnp.max(hi_ref[:], axis=0)[None, :]
+        rt0 = (root_lo - o) * inv_d
+        rt1 = (root_hi - o) * inv_d
+        texit = jnp.min(jnp.maximum(rt0, rt1), axis=1)  # [R]
+
     def body(p, _):
         # `resident` (static): cluster blocks live wholly in VMEM — read
         # directly by dynamic leading-axis index, zero DMA (megakernel.py
         # RESIDENT_BUDGET_BYTES rationale).
+        if resident:
+            # Early exit: shortlists are sorted by tile-min entry, so once
+            # the NEXT cluster's entry exceeds every ray's current best t,
+            # no later cluster can contain a closer hit (per-ray entry >=
+            # tile-min entry >= next entry > t). Remaining iterations
+            # reduce to this one scalar test. Resident mode only — the
+            # streaming path pre-issues DMAs it would then have to drain.
+            @pl.when(done_ref[0, 0] == 0)
+            def _():
+                _culled_step(p)
+        else:
+            _culled_step(p)
+        return 0
+
+    def _culled_step(p):
         ci = shortlist_ref[i, p]
         if not resident:
             slot = jax.lax.rem(p, 2)
@@ -176,6 +208,15 @@ def _culled_kernel(
             )
             t_ref[:, 0] = jnp.where(better, t_blk, t_ref[:, 0])
             idx_ref[:, 0] = jnp.where(better, orig_blk, idx_ref[:, 0])
+
+        if resident:
+            # ent_ref is padded with _BIG past the shortlist, so p+1 is
+            # always in bounds.
+            settle = jnp.max(jnp.minimum(t_ref[:, 0], texit))
+
+            @pl.when(ent_ref[i, p + 1] > settle)
+            def _():
+                done_ref[0, 0] = 1
 
         return 0
 
@@ -262,19 +303,13 @@ def triangle_nearest_culled(
         t, idx, hit = _culled_from_feats(
             feats[order_r], mesh, quirks=quirks, live=live_s
         )
-        # ints ride the f32 scatter as VALUES (exact below 2^24), not bit
-        # patterns — small-int bit patterns are f32 denormals, which the
-        # TPU flushes to zero in transit.
-        packed = jnp.stack(
-            [t, idx.astype(jnp.float32), hit.astype(jnp.float32)],
-            axis=1,
+        # Unsort by sorting on the forward permutation — measured cheaper
+        # than a row scatter on TPU (sort-with-payloads ~1.1 ms vs scatter
+        # ~1.8 ms at 131k rays), and int payloads ride natively.
+        _, t_o, idx_o, hit_o = jax.lax.sort(
+            (order_r, t, idx, hit.astype(jnp.int32)), dimension=0, num_keys=1
         )
-        unpacked = jnp.zeros((R, 3), jnp.float32).at[order_r].set(packed)
-        return (
-            unpacked[:, 0],
-            unpacked[:, 1].astype(jnp.int32),
-            unpacked[:, 2] > 0,
-        )
+        return t_o, idx_o, hit_o > 0
     return _culled_from_feats(feats, mesh, quirks=quirks, live=live)
 
 
@@ -310,6 +345,13 @@ def _culled_from_feats(feats, mesh: accel.ClusteredMesh, *, quirks: Quirks, live
     tile_entry = jnp.min(entry, axis=1)  # [n_tiles, C]
     order = jnp.argsort(tile_entry, axis=1).astype(jnp.int32)
     counts = jnp.sum(tile_entry < _BIG, axis=1).astype(jnp.int32)
+    # Sorted entry distances (+ trailing _BIG) feed the kernel's early
+    # exit: once the next entry exceeds every ray's best t, stop.
+    ent_sorted = jnp.concatenate(
+        [jnp.sort(tile_entry, axis=1),
+         jnp.full((n_tiles, 1), _BIG, jnp.float32)],
+        axis=1,
+    )  # [n_tiles, C+1]
 
     # --- per-cluster constant blocks -------------------------------------
     K, kof = pack_triangles(mesh.v0, mesh.v1, mesh.v2)  # [9,4,Tc], [Tc]
@@ -336,6 +378,7 @@ def _culled_from_feats(feats, mesh: accel.ClusteredMesh, *, quirks: Quirks, live
         num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # ent [n_tiles, C+1]
             pl.BlockSpec((TILE_R, 9), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # lo
             pl.BlockSpec(memory_space=pltpu.VMEM),  # hi
@@ -347,6 +390,7 @@ def _culled_from_feats(feats, mesh: accel.ClusteredMesh, *, quirks: Quirks, live
             pl.BlockSpec((TILE_R, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
+            pltpu.SMEM((1, 1), jnp.int32),
             pltpu.VMEM((2, 9, 4, cs), jnp.float32),
             pltpu.VMEM((2, 3, cs), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
@@ -363,7 +407,7 @@ def _culled_from_feats(feats, mesh: accel.ClusteredMesh, *, quirks: Quirks, live
             jax.ShapeDtypeStruct((rp, 1), jnp.int32),
         ),
         interpret=_interpret(),
-    )(order, counts, feats, cull_lo, cull_hi, kc, aux)
+    )(order, counts, ent_sorted, feats, cull_lo, cull_hi, kc, aux)
 
     t, idx = t[:R, 0], idx[:R, 0]
     hit = t < _BIG
@@ -373,3 +417,285 @@ def _culled_from_feats(feats, mesh: accel.ClusteredMesh, *, quirks: Quirks, live
     n_orig = mesh.perm.shape[0]
     orig = jnp.minimum(idx, n_orig - 1)
     return jnp.where(hit, t, jnp.inf), orig, hit
+
+
+# ---------------------------------------------------------------------------
+# Any-hit occlusion kernel (shadow rays)
+# ---------------------------------------------------------------------------
+
+
+def _occluded_kernel(
+    # scalar prefetch
+    shortlist_ref,  # [n_tiles, C] int32
+    count_ref,  # [n_tiles] int32
+    # SMEM input
+    ent_ref,  # [n_tiles, C+1] sorted entry distances (early-exit bound)
+    # VMEM inputs
+    fb_ref,  # [TILE_R, 10] ray features + per-ray max t (col 9, _BIG = none)
+    lo_ref,  # [C, 3]
+    hi_ref,  # [C, 3]
+    # HBM (or VMEM when resident)
+    kc_ref,  # [C, 9, 4, cs]
+    aux_ref,  # [C, 3, cs]
+    # output
+    occ_ref,  # [TILE_R, 1] f32 1.0 = occluded
+    # scratch
+    done_ref,  # SMEM [1, 1] int32
+    kbuf,
+    abuf,
+    sems,
+    *,
+    sign,
+    t_clip,
+    cs,
+    resident,
+):
+    """ANY-hit variant of _culled_kernel for shadow queries (the
+    reference's shadow() is a boolean scan, src/utils.h:42-76): no
+    nearest-t bookkeeping, clusters are skipped for rays already
+    occluded, and the whole tile stops at the first iteration that
+    leaves every ray occluded — shadow rays terminate at the FIRST
+    blocker instead of paying for the closest one."""
+    i = pl.program_id(0)
+    n_active = count_ref[i]
+    feats = fb_ref[:, 0:9]
+    bnd = fb_ref[:, 9]
+    d = feats[:, 0:3]
+    o = feats[:, 6:9]
+
+    occ_ref[:, 0] = jnp.zeros((feats.shape[0],), jnp.float32)
+    done_ref[0, 0] = 0
+
+    def dma(slot, pos):
+        ci = shortlist_ref[i, pos]
+        return (
+            pltpu.make_async_copy(kc_ref.at[ci], kbuf.at[slot], sems.at[slot, 0]),
+            pltpu.make_async_copy(aux_ref.at[ci], abuf.at[slot], sems.at[slot, 1]),
+        )
+
+    if not resident:
+
+        @pl.when(n_active > 0)
+        def _():
+            for c in dma(0, 0):
+                c.start()
+
+    inv_d = 1.0 / jnp.where(jnp.abs(d) > 1e-30, d, 1e-30)
+
+    if resident:
+        # per-ray settle bound: no blocker can sit past the root-AABB
+        # exit (see _culled_kernel) or past the light distance
+        root_lo = jnp.min(lo_ref[:], axis=0)[None, :]
+        root_hi = jnp.max(hi_ref[:], axis=0)[None, :]
+        rt0 = (root_lo - o) * inv_d
+        rt1 = (root_hi - o) * inv_d
+        texit = jnp.minimum(
+            jnp.min(jnp.maximum(rt0, rt1), axis=1), bnd
+        )  # [R]
+
+    def body(p, _):
+        if resident:
+
+            @pl.when(done_ref[0, 0] == 0)
+            def _():
+                _occ_step(p)
+        else:
+            _occ_step(p)
+        return 0
+
+    def _occ_step(p):
+        ci = shortlist_ref[i, p]
+        if not resident:
+            slot = jax.lax.rem(p, 2)
+            nxt = jax.lax.rem(p + 1, 2)
+
+            @pl.when(p + 1 < n_active)
+            def _():
+                for c in dma(nxt, p + 1):
+                    c.start()
+
+            for c in dma(slot, p):
+                c.wait()
+
+        lo = lo_ref[pl.ds(ci, 1), :]
+        hi = hi_ref[pl.ds(ci, 1), :]
+        t0 = (lo - o) * inv_d
+        t1 = (hi - o) * inv_d
+        tmin = jnp.max(jnp.minimum(t0, t1), axis=1)
+        tmax = jnp.min(jnp.maximum(t0, t1), axis=1)
+        enter = (tmin <= tmax) & (tmax > t_clip) & (tmin < bnd)
+        pend = enter & (occ_ref[:, 0] < 0.5)
+
+        @pl.when(jnp.any(pend))
+        def _():
+            if resident:
+                K = kc_ref[ci].reshape(9, 4 * cs)
+                kof_blk = aux_ref[ci, 0, :]
+                msk_blk = aux_ref[ci, 1, :]
+            else:
+                slot_ = jax.lax.rem(p, 2)
+                K = kbuf[slot_].reshape(9, 4 * cs)
+                kof_blk = abuf[slot_, 0, :]
+                msk_blk = abuf[slot_, 1, :]
+
+            prods = jax.lax.dot_general(
+                feats, K, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            ).reshape(-1, 4, cs)
+            det = prods[:, 0, :]
+            u_num = sign * prods[:, 1, :]
+            v_num = prods[:, 2, :]
+            t_num = prods[:, 3, :] - kof_blk[None, :]
+
+            ok = jnp.abs(det) >= TRIANGLE_DET_EPS
+            inv = jnp.where(ok, 1.0, 0.0) / jnp.where(ok, det, 1.0)
+            u = u_num * inv
+            v = v_num * inv
+            t = t_num * inv
+            valid = (
+                ok & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1)
+                & (msk_blk[None, :] > 0)
+                & (t > t_clip) & (t < bnd[:, None])
+            )
+            occ_ref[:, 0] = jnp.maximum(
+                occ_ref[:, 0], jnp.any(valid, axis=1).astype(jnp.float32)
+            )
+
+        if resident:
+            # all occluded, or no later cluster can sit inside any ray's
+            # remaining (t_clip, bnd) window
+            all_occ = jnp.min(occ_ref[:, 0]) > 0.5
+            no_more = ent_ref[i, p + 1] > jnp.max(
+                jnp.where(occ_ref[:, 0] > 0.5, 0.0, texit)
+            )
+
+            @pl.when(all_occ | no_more)
+            def _():
+                done_ref[0, 0] = 1
+
+        return 0
+
+    jax.lax.fori_loop(0, n_active, body, 0)
+
+
+def triangle_occluded(
+    o, d, mesh: accel.ClusteredMesh, *, quirks: Quirks, t_max=None,
+    live=None, reorder: bool = True,
+):
+    """[R] bool — is ANY triangle strictly between t_clip and t_max along
+    each ray?  The shadow-query form of the culled kernel (clean-mode
+    triangle occlusion — parity never takes this path because the
+    reference's shadow() scans spheres only, src/utils.h:49-55).
+
+    t_max: optional [R] upper bound (point-light distance); None =
+    unbounded (directional lights). live: see triangle_nearest_culled.
+    """
+    R = o.shape[0]
+    feats = ray_features(o, d)
+    bnd = (
+        jnp.full((R,), _BIG, jnp.float32)
+        if t_max is None
+        else t_max.astype(jnp.float32)
+    )
+    fb = jnp.concatenate([feats, bnd[:, None]], axis=1)  # [R, 10]
+    if reorder:
+        keys = _spatial_sort_keys(o, d, mesh.aabb_lo.min(0), mesh.aabb_hi.max(0))
+        if live is not None:
+            keys = jnp.where(live > 0, keys, jnp.uint32(0xFFFFFFFF))
+        keys_s, order_r = jax.lax.sort_key_val(
+            keys, jnp.arange(R, dtype=jnp.int32)
+        )
+        live_s = None
+        if live is not None:
+            live_s = (keys_s != jnp.uint32(0xFFFFFFFF)).astype(jnp.float32)
+        occ = _occluded_from_fb(fb[order_r], mesh, quirks=quirks, live=live_s)
+        _, occ_o = jax.lax.sort(
+            (order_r, occ.astype(jnp.int32)), dimension=0, num_keys=1
+        )
+        return occ_o > 0
+    return _occluded_from_fb(fb, mesh, quirks=quirks, live=live)
+
+
+def _occluded_from_fb(fb, mesh: accel.ClusteredMesh, *, quirks: Quirks, live=None):
+    R = fb.shape[0]
+    d = fb[:, 0:3]
+    o = fb[:, 6:9]
+    bnd = fb[:, 9]
+    sign = 1.0 if quirks.reference_triangle_test else -1.0
+    t_clip = 1.0 if quirks.near_clip_t_le_1 else CLEAN_T_EPS
+    C = mesh.n_clusters
+    cs = mesh.v0.shape[0] // C
+    rp = -(-R // TILE_R) * TILE_R
+    n_tiles = rp // TILE_R
+
+    cull_lo, cull_hi = mesh.bounds(mirrored=quirks.reference_triangle_test)
+    amask, entry = accel.ray_aabb_entry(
+        o, d, cull_lo, cull_hi,
+        allow_negative=quirks.reference_triangle_test,
+    )
+    amask = amask & (entry < bnd[:, None])
+    if live is not None:
+        amask = amask & (live > 0)[:, None]
+    entry = jnp.where(amask, entry, _BIG)
+    entry = _pad_rows(entry, rp, fill=_BIG).reshape(n_tiles, TILE_R, C)
+    tile_entry = jnp.min(entry, axis=1)
+    order = jnp.argsort(tile_entry, axis=1).astype(jnp.int32)
+    counts = jnp.sum(tile_entry < _BIG, axis=1).astype(jnp.int32)
+    ent_sorted = jnp.concatenate(
+        [jnp.sort(tile_entry, axis=1),
+         jnp.full((n_tiles, 1), _BIG, jnp.float32)],
+        axis=1,
+    )
+
+    K, kof = pack_triangles(mesh.v0, mesh.v1, mesh.v2)
+    kc = K.reshape(9, 4, C, cs).transpose(2, 0, 1, 3)
+    aux = jnp.stack(
+        [
+            kof.reshape(C, cs),
+            mesh.mask.reshape(C, cs),
+            mesh.perm.astype(jnp.float32).reshape(C, cs),
+        ],
+        axis=1,
+    )
+    fb_p = _pad_rows(fb, rp, fill=1.0)
+
+    from skele_raytracer_tpu.ops.pallas.megakernel import (
+        RESIDENT_BUDGET_BYTES,
+        mesh_resident_bytes,
+    )
+
+    resident = mesh_resident_bytes(C, cs) <= RESIDENT_BUDGET_BYTES
+    mesh_space = pltpu.VMEM if resident else pl.ANY
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # ent [n_tiles, C+1]
+            pl.BlockSpec((TILE_R, 10), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # lo
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # hi
+            pl.BlockSpec(memory_space=mesh_space),
+            pl.BlockSpec(memory_space=mesh_space),
+        ],
+        out_specs=pl.BlockSpec(
+            (TILE_R, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((1, 1), jnp.int32),
+            pltpu.VMEM((2, 9, 4, cs), jnp.float32),
+            pltpu.VMEM((2, 3, cs), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    occ = pl.pallas_call(
+        functools.partial(
+            _occluded_kernel, sign=sign, t_clip=t_clip, cs=cs,
+            resident=resident,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((rp, 1), jnp.float32),
+        interpret=_interpret(),
+    )(order, counts, ent_sorted, fb_p, cull_lo, cull_hi, kc, aux)
+    return occ[:R, 0] > 0.5

@@ -560,28 +560,21 @@ def fused_shade_forward(o, d, scene, *, use_shadows, live=None, reorder=True):
         direct, t, kind, index, unsh = _fused_from_feats(
             feats[order_r], scene, use_shadows=use_shadows, live=live_s
         )
-        # ints ride the f32 scatter as VALUES (exact below 2^24), not bit
-        # patterns — small-int bit patterns are f32 denormals, which the
-        # TPU flushes to zero in transit. t can be +inf (miss): swap it
-        # for _BIG across the permute and restore after.
-        packed = jnp.concatenate(
-            [
-                direct,
-                jnp.minimum(t, _BIG)[:, None],
-                kind.astype(jnp.float32)[:, None],
-                index.astype(jnp.float32)[:, None],
-                unsh,
-            ],
-            axis=1,
+        # Unsort by sorting on the forward permutation — measured cheaper
+        # than a row scatter on TPU, and int payloads ride natively.
+        L = unsh.shape[1]
+        cols = (
+            [direct[:, j] for j in range(3)]
+            + [t, kind, index]
+            + [unsh[:, j] for j in range(L)]
         )
-        up = jnp.zeros(packed.shape, jnp.float32).at[order_r].set(packed)
-        t_u = up[:, 3]
+        outs = jax.lax.sort((order_r, *cols), dimension=0, num_keys=1)
         return (
-            up[:, 0:3],
-            jnp.where(t_u >= _BIG, jnp.inf, t_u),
-            up[:, 4].astype(jnp.int32),
-            up[:, 5].astype(jnp.int32),
-            up[:, 6:],
+            jnp.stack(outs[1:4], axis=1),
+            outs[4],
+            outs[5],
+            outs[6],
+            jnp.stack(outs[7:], axis=1),
         )
     return _fused_from_feats(feats, scene, use_shadows=use_shadows, live=live)
 

@@ -167,7 +167,8 @@ def _shadow_mask(x, normal, scene, cfg: RenderConfig, l_vec, light_dist=None, li
         if not quirks.sphere_only_shadows and scene.has_triangles:
             if use_culled:
                 # Mesh-scale occlusion: the [R, T] broadcast would OOM on
-                # dragon-sized meshes; the culled kernel streams clusters.
+                # dragon-sized meshes; the culled ANY-HIT kernel streams
+                # clusters and stops each tile at its first blocker.
                 # Occlusion is a binary gate (no gradient in the reference
                 # semantics), so the forward-only kernel gets
                 # gradient-free inputs — backend="pallas" stays fully
@@ -177,14 +178,12 @@ def _shadow_mask(x, normal, scene, cfg: RenderConfig, l_vec, light_dist=None, li
                 from skele_raytracer_tpu.ops.pallas import culled
 
                 sg = _jax.lax.stop_gradient
-                t_tri_n, _, ok_any = culled.triangle_nearest_culled(
+                occ_tri = culled.triangle_occluded(
                     sg(origin), sg(direction), sg(scene.clusters), quirks=quirks,
+                    t_max=sg(light_dist[:, l]) if bound else None,
                     live=None if live is None else sg(live),
                 )
-                if bound:
-                    occ = occ | (ok_any & (t_tri_n < light_dist[:, l]))
-                else:
-                    occ = occ | ok_any
+                occ = occ | occ_tri
             else:
                 t_tri, ok, _, _ = ray_triangle_all(
                     origin, direction, scene.triangles.v0, scene.triangles.v1,
