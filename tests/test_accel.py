@@ -141,3 +141,113 @@ def test_culled_reorder_invariance():
     b = culled.triangle_nearest_culled(o, d, mesh, quirks=CLEAN, reorder=True)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+# ---------------------------------------------------------------------------
+# Any-hit occlusion kernel (culled.triangle_occluded)
+# ---------------------------------------------------------------------------
+
+
+def _occlusion_oracle(o, d, v0, v1, v2, m, quirks, bnd=None):
+    """Brute-force [R, T] occlusion: ANY valid hit with t in (t_clip, bnd).
+    Mirrors the kernel's contract (the shadow-query form of the reference's
+    boolean scan, src/utils.h:42-76, extended to triangles in clean mode)."""
+    from skele_raytracer_tpu.config import CLEAN_T_EPS
+
+    t_all, ok, _, _ = geometry.ray_triangle_all(o, d, v0, v1, v2, m, quirks=quirks)
+    t_clip = 1.0 if quirks.near_clip_t_le_1 else CLEAN_T_EPS
+    occ = ok & (np.asarray(t_all) > t_clip)
+    if bnd is not None:
+        occ = occ & (np.asarray(t_all) < np.asarray(bnd)[:, None])
+    return np.asarray(occ).any(axis=1)
+
+
+@pytest.mark.parametrize("quirks", [PARITY, CLEAN], ids=["parity", "clean"])
+def test_occluded_matches_bruteforce_unbounded(quirks):
+    v0, v1, v2, m = _mesh(t=1100, seed=9)
+    mesh = accel.build_clusters(v0, v1, v2, m)
+    rng = np.random.default_rng(4)
+    o = jnp.asarray(rng.uniform(-12, 12, (700, 3)).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(700, 3)).astype(np.float32))
+    want = _occlusion_oracle(o, d, v0, v1, v2, m, quirks)
+    got = np.asarray(culled.triangle_occluded(o, d, mesh, quirks=quirks))
+    assert (got == want).mean() > 0.998, f"{(got != want).sum()} rays disagree"
+
+
+def test_occluded_respects_t_max_bound():
+    """Blockers PAST the light must not occlude (point-light distance
+    bound): same rays, shrinking bounds monotonically de-occlude, and each
+    bound matches the brute-force oracle."""
+    v0, v1, v2, m = _mesh(t=900, seed=5)
+    mesh = accel.build_clusters(v0, v1, v2, m)
+    rng = np.random.default_rng(6)
+    R = 500
+    o = jnp.asarray(rng.uniform(-12, 12, (R, 3)).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(R, 3)).astype(np.float32))
+    prev = None
+    for bound in (20.0, 2.0, 0.05):
+        bnd = jnp.full((R,), bound, jnp.float32)
+        got = np.asarray(
+            culled.triangle_occluded(o, d, mesh, quirks=CLEAN, t_max=bnd)
+        )
+        want = _occlusion_oracle(o, d, v0, v1, v2, m, CLEAN, bnd=bnd)
+        mismatch = (got != want).sum()
+        assert mismatch <= R * 0.002, f"bound={bound}: {mismatch} disagree"
+        if prev is not None:
+            assert not (got & ~prev).any(), "shrinking bound occluded MORE"
+        prev = got
+    # the 0.05 bound de-occludes almost everything (only rays whose
+    # blocker sits within 0.05 ray-parameter units survive)
+    assert prev.mean() < 0.01
+
+
+def test_occluded_live_rays_unaffected_by_dead_neighbors():
+    """Dead rays change tile composition (they sort to the end) and are
+    excluded from cluster shortlists; LIVE rays' answers must not move.
+    (Dead rays' own outputs are unspecified — callers mask by `live`,
+    same contract as triangle_nearest_culled.)"""
+    v0, v1, v2, m = _mesh(t=900, seed=7)
+    mesh = accel.build_clusters(v0, v1, v2, m)
+    rng = np.random.default_rng(9)
+    R = 400
+    o = jnp.asarray(rng.uniform(-12, 12, (R, 3)).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(R, 3)).astype(np.float32))
+    live = jnp.asarray((np.arange(R) % 3 != 0).astype(np.float32))
+    got = np.asarray(
+        culled.triangle_occluded(o, d, mesh, quirks=CLEAN, live=live)
+    )
+    full = np.asarray(culled.triangle_occluded(o, d, mesh, quirks=CLEAN))
+    lv = np.asarray(live) > 0
+    np.testing.assert_array_equal(got[lv], full[lv])
+
+
+def test_occluded_reorder_invariance():
+    v0, v1, v2, m = _mesh(t=600, seed=13)
+    mesh = accel.build_clusters(v0, v1, v2, m)
+    rng = np.random.default_rng(12)
+    o = jnp.asarray(rng.uniform(-12, 12, (300, 3)).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(300, 3)).astype(np.float32))
+    a = culled.triangle_occluded(o, d, mesh, quirks=CLEAN, reorder=False)
+    b = culled.triangle_occluded(o, d, mesh, quirks=CLEAN, reorder=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_occluded_streaming_matches_resident(monkeypatch):
+    """Force the DMA-streaming variant (no early exit) and compare with the
+    VMEM-resident one (early exit + settle bound) — the exit conditions
+    must never change the answer."""
+    from skele_raytracer_tpu.ops.pallas import megakernel as mk
+
+    v0, v1, v2, m = _mesh(t=1100, seed=17)
+    mesh = accel.build_clusters(v0, v1, v2, m)
+    rng = np.random.default_rng(15)
+    R = 500
+    o = jnp.asarray(rng.uniform(-12, 12, (R, 3)).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(R, 3)).astype(np.float32))
+    bnd = jnp.asarray(rng.uniform(1, 30, (R,)).astype(np.float32))
+    res = np.asarray(culled.triangle_occluded(o, d, mesh, quirks=CLEAN, t_max=bnd))
+    monkeypatch.setattr(mk, "RESIDENT_BUDGET_BYTES", 0)
+    stream = np.asarray(
+        culled.triangle_occluded(o, d, mesh, quirks=CLEAN, t_max=bnd)
+    )
+    np.testing.assert_array_equal(stream, res)
