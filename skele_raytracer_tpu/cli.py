@@ -114,10 +114,13 @@ def main(argv=None) -> int:
     cfg = config_from_args(args, parsed.width, parsed.height)
     backend = args.backend
     if backend == "auto":
-        # Pallas kernels pay off on the triangle axis (mesh scenes); for
-        # sphere-only scenes XLA's fused jnp path is faster (ops/geometry.py).
-        on_tpu = jax.default_backend() == "tpu"
-        backend = "pallas" if (on_tpu and parsed.triangles) else "jnp"
+        # On TPU every scene class has a winning Pallas path now: mesh
+        # scenes stream through the culled triangle kernels, sphere-only
+        # scenes through the whole-frame path-trace kernel
+        # (ops/pallas/pathtrace.py). Per-config dispatch inside the
+        # renderer falls back to jnp where a kernel doesn't apply. On CPU
+        # the kernels would run interpreted — keep XLA's fused jnp path.
+        backend = "pallas" if jax.default_backend() == "tpu" else "jnp"
     cfg = cfg.replace(backend=backend)
     scene = parsed.to_scene(cfg.quirks)
 

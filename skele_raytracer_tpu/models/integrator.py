@@ -208,8 +208,7 @@ def integrate_linear(scene, cfg: RenderConfig, key, o, d, sample_ids):
     o1, d1, f1 = _mc_continue(scene, cfg, key, hits_p, mat_p, path_ids, 0)
     t1 = f1 * rep(shades)[:, None]  # only shaded hits continue
 
-    def body(carry, bounce):
-        o_b, d_b, t_b = carry
+    def _bounce_shade(o_b, d_b, t_b, bounce):
         live = jnp.any(t_b != 0, axis=1).astype(jnp.float32)
         h, m, dir_b, sh, ms = _shade_hit(
             scene, cfg, key, o_b, d_b, path_ids, bounce, live
@@ -218,13 +217,24 @@ def integrate_linear(scene, cfg: RenderConfig, key, o, d, sample_ids):
         l_add = t_b * jnp.where(
             ms[:, None], bg, jnp.where(sh[:, None], dir_b / _PI * m.diffuse, 0.0)
         )
+        return h, m, sh, l_add
+
+    def body(carry, bounce):
+        o_b, d_b, t_b = carry
+        h, m, sh, l_add = _bounce_shade(o_b, d_b, t_b, bounce)
         o_n, d_n, f = _mc_continue(scene, cfg, key, h, m, path_ids, bounce)
         t_n = t_b * f * sh[:, None]
         return (o_n, d_n, t_n), l_add
 
-    bounces = jnp.arange(1, cfg.max_depth, dtype=jnp.int32)
-    (_, _, _), l_adds = jax.lax.scan(body, (o1, d1, t1), bounces)
-    path_l = jnp.sum(l_adds, axis=0)  # [C*P, 3]
+    # The FINAL bounce is peeled out of the scan: its continuation ray is
+    # never traced (shade(depth=0) == black, src/raytrace.h:142), so
+    # sampling it — RNG draws, hemisphere transform, normalize, origin
+    # offset for every path ray — would be pure waste. At the benchmarked
+    # depth 2 this skips one full sampling pass over ALL path rays.
+    bounces = jnp.arange(1, cfg.max_depth - 1, dtype=jnp.int32)
+    (o_f, d_f, t_f), l_adds = jax.lax.scan(body, (o1, d1, t1), bounces)
+    _, _, _, l_last = _bounce_shade(o_f, d_f, t_f, cfg.max_depth - 1)
+    path_l = jnp.sum(l_adds, axis=0) + l_last  # [C*P, 3]
     indirect = jnp.mean(path_l.reshape(C, P, 3), axis=1)
     return l0 + indirect
 

@@ -59,8 +59,28 @@ def render_ids(scene, cfg: RenderConfig, key, sample_ids):
 
 
 def render_ids_chunked(scene, cfg: RenderConfig, key, sample_ids):
-    """Radiance [N, 3] for arbitrary sample ids, streamed chunk by chunk.
-    Used both for the full frame and for per-device shards of it.
+    """Radiance [N, 3] for arbitrary sample ids — the unit every consumer
+    (full frame, device shards, progressive bands, training loss) builds
+    on.
+
+    Sphere-only scenes under backend="pallas" route through the
+    whole-frame path-trace megakernel (ops/pallas/pathtrace.py): ONE
+    pallas_call covers ray-gen + RNG + intersect + shade + the MC bounce
+    loop, eliminating the ~30-small-ops-per-chunk dispatch overhead that
+    dominates the XLA-traced frame. Its custom_vjp recomputes gradients
+    through the jnp path below, so training is unaffected. Everything
+    else streams through the chunked jnp/culled-kernel pipeline.
+    """
+    from skele_raytracer_tpu.ops.pallas import pathtrace
+
+    if pathtrace.use_pathtrace(scene, cfg):
+        return pathtrace.pathtrace_ids(scene, cfg, key, sample_ids)
+    return render_ids_chunked_jnp(scene, cfg, key, sample_ids)
+
+
+def render_ids_chunked_jnp(scene, cfg: RenderConfig, key, sample_ids):
+    """The chunked wavefront path: radiance [N, 3] streamed chunk by chunk
+    (`lax.map`), differentiable end to end.
 
     The chunk body is rematerialized (`jax.checkpoint`): without it,
     reverse-mode AD would save every chunk's intermediates across the

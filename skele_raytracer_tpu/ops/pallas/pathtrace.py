@@ -1,0 +1,648 @@
+"""Whole-frame path-trace Pallas megakernel for sphere scenes.
+
+The headline benchmark (spheres2 1080p gillum16, the reference's timed
+config — reference src/main.cpp:19-104 + src/raytrace.h:139-227) runs on
+scenes with no triangles, so the hot loop is pure per-ray arithmetic:
+camera ray, a ~16-sphere nearest-hit scan, Blinn-Phong shading, and
+`num_paths` Monte-Carlo continuation rays per sample. Traced through XLA
+(models/integrator.py) that frame decomposes into ~30 small ops per
+`lax.map` chunk x 254 chunks; a device trace shows each op is
+latency-bound (10-30 us for ~2 us of data) — the frame pays op dispatch,
+not FLOPs.
+
+This kernel is the TPU-native fix: ONE `pallas_call` renders the whole
+frame. Each grid step takes a (SUB, 128) tile of flat sample ids and runs
+ray-gen + counter-based threefry RNG + the unrolled sphere scan + shading
++ the full Monte-Carlo bounce loop entirely in VMEM/registers — zero HBM
+intermediates, zero kernel-launch boundaries. The scene rides along as
+SMEM scalar tables (a sphere scene is a few hundred scalars).
+
+Semantics are the wavefront integrator's exactly (models/integrator.py
+`integrate_linear`, itself the re-design of reference src/raytrace.h:
+139-227): same threefry2x32 streams bit-for-bit (ops/sampling.py), same
+quadratic/root selection (src/utils.h:87-121), same parity quirks
+(unnormalized dirs, t<=1 clip, diagonal jitter, buggy tangent frame,
+scalar epsilon offsets) or clean-mode replacements, same light loops
+(src/blinn_phong.h). The only numeric deviations are mul-by-reciprocal
+vs divide rounding (1 ulp) in t and transcendental lowering differences —
+tests/test_pathtrace.py pins the jnp path to float tolerance.
+
+Differentiation: `pathtrace_ids` is a custom_vjp — the forward runs this
+kernel; the backward recomputes the identical estimator through the
+differentiable jnp wavefront path (same RNG streams, same math), so
+gradients are exactly the jnp path's. The discrete per-bounce hit
+structure (17+ int records per sample at gillum16) would dwarf the frame
+itself if saved, so re-derivation is the memory-rational backward here.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from skele_raytracer_tpu.config import (
+    CLEAN_T_EPS,
+    INDIRECT_ORIGIN_EPS,
+    SHADOW_ORIGIN_EPS,
+    RenderConfig,
+)
+from skele_raytracer_tpu.ops.pallas.intersect import _BIG, _interpret
+from skele_raytracer_tpu.ops.sampling import (
+    _GOLDEN,
+    PURPOSE_JITTER,
+    PURPOSE_PATH,
+    bits_to_unit,
+    threefry2x32,
+)
+
+# Samples per grid step: (TILE_SUB, 128) planes. 4096 f32 samples/tile
+# keeps ~40 live per-ray planes under 1 MB of VMEM while amortizing grid
+# overhead over 500+ tiles at 1080p.
+TILE_SUB = 32
+TILE = TILE_SUB * 128
+
+_TWO_PI = np.float32(2.0 * np.pi)
+_PI = np.float32(np.pi)
+
+# Paths are unrolled (straight-line code, maximal ILP) up to this count;
+# beyond it a fori_loop bounds compile time.
+_UNROLL_PATHS = 32
+
+# Unrolled-scan budget: every sphere costs ~25 VPU ops per ray per scan.
+# Beyond this the [R, S] jnp formulation stops being latency-bound anyway.
+MAX_SPHERES = 64
+
+
+def use_pathtrace(scene, cfg: RenderConfig) -> bool:
+    """True when this kernel serves the config: pallas backend, sphere-only
+    scene, linear (MC/parity) integrator, no value-bearing fog."""
+    return (
+        cfg.backend == "pallas"
+        and scene.has_spheres
+        and not scene.has_triangles
+        and not (scene.has_fog and not scene.fog_zeroed)
+        and (cfg.monte_carlo or cfg.quirks.disable_reflections)
+        and scene.spheres.mask.shape[0] <= MAX_SPHERES
+        and cfg.max_depth >= 1
+    )
+
+
+def _draw(seed, bounce: int, purpose: int, ids, draw_idx: int):
+    """One U[0,1) plane: the (seed, bounce, purpose) stream at counter
+    (ids, draw_idx) — bit-identical to ops/sampling.uniform."""
+    k1 = np.uint32((int(bounce) * int(_GOLDEN) + int(purpose)) & 0xFFFFFFFF)
+    y0, _ = threefry2x32(seed, k1, ids, jnp.uint32(draw_idx))
+    # bits_to_unit with the u32 -> f32 cast routed through int32 (Mosaic
+    # has no direct u32 cast; the top-24-bit value fits int32 exactly).
+    return (y0 >> np.uint32(8)).astype(jnp.int32).astype(jnp.float32) * (
+        np.float32(2**-24)
+    )
+
+
+def _normalize3(vx, vy, vz):
+    """geometry.normalize on component planes (zero maps to zero)."""
+    n2 = vx * vx + vy * vy + vz * vz
+    pos = n2 > 0
+    nn = jnp.sqrt(jnp.where(pos, n2, 1.0)) * pos
+    inv = jnp.where(nn > 0, 1.0 / jnp.where(nn > 0, nn, 1.0), 0.0)
+    return vx * inv, vy * inv, vz * inv, nn
+
+
+def _scan_spheres(o, d, sph, t_clip: float):
+    """Nearest-sphere scan on component planes.
+
+    o: 3-tuple of planes OR scalars (primary rays share one origin).
+    d: 3-tuple of planes. sph: list of (cx, cy, cz, r2, msk) scalars.
+    Implements geometry.ray_sphere_all + first-wins argmin
+    (src/utils.h:87-121, src/raytrace.h:152-166) with comparisons done on
+    the numerator -b - sqrt(disc) (the shared denominator 2a > 0 preserves
+    order); t materializes once as num * (0.5/a).
+    Returns (hit bool, t, idx int32, a).
+    """
+    ox, oy, oz = o
+    dx, dy, dz = d
+    a = dx * dx + dy * dy + dz * dz
+    a4 = 4.0 * a
+    clipnum = (2.0 * t_clip) * a
+    best = jnp.full(dx.shape, _BIG, jnp.float32)
+    bidx = jnp.zeros(dx.shape, jnp.int32)
+    for s, (cx, cy, cz, r2, msk) in enumerate(sph):
+        ex, ey, ez = ox - cx, oy - cy, oz - cz
+        b = 2.0 * (dx * ex + dy * ey + dz * ez)
+        c = ex * ex + ey * ey + ez * ez - r2
+        disc = b * b - a4 * c
+        pos = disc > 0
+        sq = jnp.sqrt(jnp.where(pos, disc, 1.0)) * pos
+        num = -b - sq
+        valid = (disc >= 0) & (num > clipnum) & (msk > 0)
+        upd = valid & (num < best)
+        best = jnp.where(upd, num, best)
+        bidx = jnp.where(upd, s, bidx)
+    hit = best < _BIG
+    inv2a = 0.5 / a
+    t = best * inv2a
+    return hit, t, bidx, a
+
+
+def _gather(bidx, rows):
+    """Select per-sphere scalars by the scan's winning index: for each
+    column, sum_s (bidx == s) * value[s]. rows: list over spheres of
+    per-column scalars. Misses gathered sphere 0 (bidx init 0), matching
+    the jnp argmin-of-all-inf convention."""
+    n_cols = len(rows[0])
+    outs = [None] * n_cols
+    for s, vals in enumerate(rows):
+        m = (bidx == s).astype(jnp.float32)
+        for c in range(n_cols):
+            term = m * vals[c]
+            outs[c] = term if outs[c] is None else outs[c] + term
+    return outs
+
+
+def _occluded(origin, direction, sph, t_clip: float, bound):
+    """Any-sphere occlusion scan (reference shadow(), src/utils.h:42-76):
+    parity is unbounded (occluders beyond the light still occlude); clean
+    bounds by the light distance. origin/direction: component planes."""
+    ox, oy, oz = origin
+    dx, dy, dz = direction
+    a = dx * dx + dy * dy + dz * dz
+    a = jnp.where(a > 0, a, 1.0)  # zero-length dirs (dead rays) never hit
+    a4 = 4.0 * a
+    clipnum = (2.0 * t_clip) * a
+    inv2a = 0.5 / a
+    occ = jnp.zeros(dx.shape, bool)
+    for cx, cy, cz, r2, msk in sph:
+        ex, ey, ez = ox - cx, oy - cy, oz - cz
+        b = 2.0 * (dx * ex + dy * ey + dz * ez)
+        c = ex * ex + ey * ey + ez * ez - r2
+        disc = b * b - a4 * c
+        pos = disc > 0
+        sq = jnp.sqrt(jnp.where(pos, disc, 1.0)) * pos
+        num = -b - sq
+        valid = (disc >= 0) & (num > clipnum) & (msk > 0)
+        if bound is not None:
+            valid = valid & (num * inv2a < bound)
+        occ = occ | valid
+    return occ
+
+
+def _tangent_frame(nx, ny, nz):
+    """sampling.tangent_frame on planes (src/utils.h:148-165)."""
+    use_x = jnp.abs(nx) > jnp.abs(ny)
+    inv_a = 1.0 / jnp.sqrt(jnp.maximum(nx * nx + nz * nz, 1e-30))
+    inv_b = 1.0 / jnp.sqrt(jnp.maximum(ny * ny + nz * nz, 1e-30))
+    zero = jnp.zeros_like(nx)
+    pnx = jnp.where(use_x, nz * inv_a, zero)
+    pny = jnp.where(use_x, zero, -nz * inv_b)
+    pnz = jnp.where(use_x, -nx * inv_a, ny * inv_b)
+    # perp_to_both = cross(normal, perp_to_normal)
+    pbx = ny * pnz - nz * pny
+    pby = nz * pnx - nx * pnz
+    pbz = nx * pny - ny * pnx
+    return (pnx, pny, pnz), (pbx, pby, pbz)
+
+
+def _build_kernel(
+    *,
+    S: int,
+    L: int,
+    LD: int,
+    point_on: bool,
+    dir_on: bool,
+    use_shadows: bool,
+    mc: bool,
+    P: int,
+    D: int,
+    grid: int,
+    width: int,
+    height: int,
+    angle: float,
+    quirks,
+):
+    """Close the static render configuration over the kernel body."""
+    aspect = width / float(height)
+    inv_w, inv_h = 1.0 / width, 1.0 / height
+    t_clip = 1.0 if quirks.near_clip_t_le_1 else CLEAN_T_EPS
+    clean_offsets = not quirks.scalar_epsilon_offset
+    shadow_bound = not quirks.near_clip_t_le_1  # clean bounds point lights
+
+    def read3(ref, row, col0):
+        return ref[row, col0], ref[row, col0 + 1], ref[row, col0 + 2]
+
+    def kernel(sph_ref, misc_ref, pl_ref, dl_ref, seed_ref, ids_ref,
+               xs_ref, ys_ref, cj_ref, ci_ref, r_ref, g_ref, b_ref):
+        seed = seed_ref[0, 0]
+        ids = ids_ref[...]
+        xs = xs_ref[...]
+        ys = ys_ref[...]
+
+        cam = read3(misc_ref, 0, 0)
+        right = read3(misc_ref, 0, 3)
+        up = read3(misc_ref, 0, 6)
+        cdir = read3(misc_ref, 0, 9)
+        amb_s = read3(misc_ref, 0, 12)
+        bg = read3(misc_ref, 0, 15)
+
+        # Scene tables -> python lists of traced scalars (hoisted: read
+        # once per grid step, reused by every scan/shade below).
+        sph = [
+            (sph_ref[s, 0], sph_ref[s, 1], sph_ref[s, 2], sph_ref[s, 3],
+             sph_ref[s, 4])
+            for s in range(S)
+        ]
+        # material columns: ambient(5:8) diffuse(8:11) specular(11:14)
+        # power(14). Specular/power are gathered only when a light loop
+        # will consume them, and the hit center (-> normal) only when the
+        # bounce needs geometry — the final bounce of a lights-off MC
+        # frame (the headline config) gathers just 6 columns.
+        lights_on = point_on or dir_on
+        shade_cols = list(range(5, 11)) + (
+            list(range(11, 15)) if lights_on else []
+        )
+        n_sc = len(shade_cols)
+        full_rows = [
+            [sph_ref[s, c] for c in shade_cols] + [sph_ref[s, 0],
+                                                   sph_ref[s, 1],
+                                                   sph_ref[s, 2]]
+            for s in range(S)
+        ]
+        shade_rows = [row[:n_sc] for row in full_rows]
+
+        def unpack(m):
+            amb, dif = m[0:3], m[3:6]
+            if lights_on:
+                return amb, dif, m[6:9], m[9]
+            return amb, dif, None, None
+        plights = [
+            (pl_ref[l, 0], pl_ref[l, 1], pl_ref[l, 2], pl_ref[l, 3],
+             pl_ref[l, 4], pl_ref[l, 5], pl_ref[l, 6])
+            for l in range(L)
+        ] if point_on else []
+        dlights = [
+            (dl_ref[l, 0], dl_ref[l, 1], dl_ref[l, 2], dl_ref[l, 3],
+             dl_ref[l, 4], dl_ref[l, 5], dl_ref[l, 6])
+            for l in range(LD)
+        ] if dir_on else []
+
+        def shade(x, n, amb, dif, spec, powr):
+            """direct_illumination (ops/shading.py) on planes: ambient +
+            per-light Blinn-Phong with optional shadow scans."""
+            dr = amb_s[0] * amb[0]
+            dg = amb_s[1] * amb[1]
+            db = amb_s[2] * amb[2]
+            if not (plights or dlights):
+                return dr, dg, db
+            # view vector from the CAMERA position (src/blinn_phong.h:93)
+            vx, vy, vz, _ = _normalize3(cam[0] - x[0], cam[1] - x[1],
+                                        cam[2] - x[2])
+            if clean_offsets:
+                # offset_origin(x, n): scale grows with |x| (shared by
+                # every light's shadow ray; hoisted)
+                xn = jnp.sqrt(jnp.maximum(
+                    x[0] * x[0] + x[1] * x[1] + x[2] * x[2], 0.0))
+                sc = CLEAN_T_EPS * (1.0 + xn)
+                sh_o = (x[0] + sc * n[0], x[1] + sc * n[1], x[2] + sc * n[2])
+            else:
+                sh_o = (x[0] + SHADOW_ORIGIN_EPS, x[1] + SHADOW_ORIGIN_EPS,
+                        x[2] + SHADOW_ORIGIN_EPS)
+            for (lx, ly, lz, cr, cg, cb, lm) in plights:
+                lvx, lvy, lvz = lx - x[0], ly - x[1], lz - x[2]
+                d2 = lvx * lvx + lvy * lvy + lvz * lvz
+                pos = d2 > 0
+                d_l = jnp.sqrt(jnp.where(pos, d2, 1.0)) * pos
+                inv_dl = 1.0 / jnp.maximum(d_l, 1e-30)
+                ldx, ldy, ldz = lvx * inv_dl, lvy * inv_dl, lvz * inv_dl
+                if use_shadows:
+                    sdx, sdy, sdz, _ = _normalize3(lvx, lvy, lvz)
+                    occ = _occluded(sh_o, (sdx, sdy, sdz), sph, t_clip,
+                                    d_l if shadow_bound else None)
+                    gate = lm * (~occ).astype(jnp.float32)
+                else:
+                    gate = lm * jnp.ones_like(d_l)
+                intensity = 1.0 / jnp.maximum(d_l * d_l, 1e-30)
+                ndotl = jnp.maximum(0.0, n[0] * ldx + n[1] * ldy + n[2] * ldz)
+                hx, hy, hz = vx + ldx, vy + ldy, vz + ldz
+                h2 = hx * hx + hy * hy + hz * hz
+                hpos = h2 > 0
+                hn = jnp.maximum(jnp.sqrt(jnp.where(hpos, h2, 1.0)) * hpos,
+                                 1e-30)
+                ihn = 1.0 / hn
+                ndoth = jnp.maximum(
+                    0.0, n[0] * hx * ihn + n[1] * hy * ihn + n[2] * hz * ihn)
+                spow = jnp.power(jnp.maximum(ndoth, 1e-30), powr) * (ndoth > 0)
+                gi = gate * intensity
+                dr += (dif[0] * cr * ndotl + spec[0] * cr * spow) * gi
+                dg += (dif[1] * cg * ndotl + spec[1] * cg * spow) * gi
+                db += (dif[2] * cb * ndotl + spec[2] * cb * spow) * gi
+            for (ldx0, ldy0, ldz0, cr, cg, cb, lm) in dlights:
+                ldx = jnp.broadcast_to(ldx0, x[0].shape)
+                ldy = jnp.broadcast_to(ldy0, x[0].shape)
+                ldz = jnp.broadcast_to(ldz0, x[0].shape)
+                if use_shadows:
+                    occ = _occluded(sh_o, (ldx, ldy, ldz), sph, t_clip, None)
+                    gate = lm * (~occ).astype(jnp.float32)
+                else:
+                    gate = lm * jnp.ones_like(x[0])
+                ndotl = jnp.maximum(0.0, n[0] * ldx + n[1] * ldy + n[2] * ldz)
+                hx, hy, hz = vx + ldx, vy + ldy, vz + ldz
+                h2 = hx * hx + hy * hy + hz * hz
+                hpos = h2 > 0
+                hn = jnp.maximum(jnp.sqrt(jnp.where(hpos, h2, 1.0)) * hpos,
+                                 1e-30)
+                ihn = 1.0 / hn
+                ndoth = jnp.maximum(
+                    0.0, n[0] * hx * ihn + n[1] * hy * ihn + n[2] * hz * ihn)
+                spow = jnp.power(jnp.maximum(ndoth, 1e-30), powr) * (ndoth > 0)
+                dr += (dif[0] * cr * ndotl + spec[0] * cr * spow) * gate
+                dg += (dif[1] * cg * ndotl + spec[1] * cg * spow) * gate
+                db += (dif[2] * cb * ndotl + spec[2] * cb * spow) * gate
+            return dr, dg, db
+
+        def hit_geom(o, d, t, hit, centers):
+            """(point, normal) from the scan result + gathered center."""
+            tsafe = jnp.where(hit, t, 0.0)
+            px = o[0] + d[0] * tsafe
+            py = o[1] + d[1] * tsafe
+            pz = o[2] + d[2] * tsafe
+            nx, ny, nz, _ = _normalize3(px - centers[0], py - centers[1],
+                                        pz - centers[2])
+            return (px, py, pz), (nx, ny, nz)
+
+        # ---- camera rays (ops/camera.py::rays_for_ids) -----------------
+        if grid > 0:
+            if quirks.diagonal_jitter:
+                r = _draw(seed, 0, PURPOSE_JITTER, ids, 0)
+                jx, jy = r, r
+            else:
+                r0 = _draw(seed, 0, PURPOSE_JITTER, ids, 0)
+                r1j = _draw(seed, 0, PURPOSE_JITTER, ids, 1)
+                jx = (cj_ref[...] + r0) / grid
+                jy = (ci_ref[...] + r1j) / grid
+        else:
+            jx = jy = np.float32(0.5)
+        u = (2.0 * ((xs + jx) * inv_w) - 1.0) * angle * aspect
+        v = (1.0 - 2.0 * ((ys + jy) * inv_h)) * angle
+        dx = cdir[0] + u * right[0] + v * up[0]
+        dy = cdir[1] + u * right[1] + v * up[1]
+        dz = cdir[2] + u * right[2] + v * up[2]
+        if not quirks.unnormalized_ray_dirs:
+            dx, dy, dz, _ = _normalize3(dx, dy, dz)
+
+        hit0, t0, idx0, _ = _scan_spheres(cam, (dx, dy, dz), sph, t_clip)
+        m0 = _gather(idx0, full_rows)
+        amb0, dif0, spec0, pow0 = unpack(m0)
+        cen0 = m0[n_sc:n_sc + 3]
+        x0, n0 = hit_geom(cam, (dx, dy, dz), t0, hit0, cen0)
+        d0r, d0g, d0b = shade(x0, n0, amb0, dif0, spec0, pow0)
+
+        hit0f = hit0.astype(jnp.float32)
+        miss0f = 1.0 - hit0f
+        if not mc:
+            # Plain Blinn-Phong (src/raytrace.h:205-218): direct for hits,
+            # background for misses.
+            r_ref[...] = hit0f * d0r + miss0f * bg[0]
+            g_ref[...] = hit0f * d0g + miss0f * bg[1]
+            b_ref[...] = hit0f * d0b + miss0f * bg[2]
+            return
+
+        # MC combine (src/raytrace.h:213): l0 = direct/pi * diffuse.
+        l0r = hit0f * (d0r / _PI * dif0[0]) + miss0f * bg[0]
+        l0g = hit0f * (d0g / _PI * dif0[1]) + miss0f * bg[1]
+        l0b = hit0f * (d0b / _PI * dif0[2]) + miss0f * bg[2]
+
+        if D <= 1:
+            r_ref[...] = l0r
+            g_ref[...] = l0g
+            b_ref[...] = l0b
+            return
+
+        # ---- Monte-Carlo continuation paths ----------------------------
+        # Hoisted per-sample state shared by all P paths: the primary
+        # hit's tangent frame and throughput base 2*pi*diffuse*shades.
+        pn0, pb0 = _tangent_frame(*n0)
+        base = (_TWO_PI * dif0[0] * hit0f, _TWO_PI * dif0[1] * hit0f,
+                _TWO_PI * dif0[2] * hit0f)
+
+        def sample_dir(r1, r2, n, pn, pb):
+            """uniform_sample_hemi + to_world (ops/sampling.py)."""
+            pos = 1.0 - r1 * r1 > 0
+            s_th = jnp.sqrt(jnp.where(pos, 1.0 - r1 * r1, 1.0)) * pos
+            phi = _TWO_PI * r2
+            sx = s_th * jnp.cos(phi)
+            sy = r1
+            sz = s_th * jnp.sin(phi)
+            if quirks.buggy_tangent_frame:
+                third = (pn[0], pb[1], pb[2])
+            else:
+                third = pn
+            ddx = sx * pb[0] + sy * n[0] + sz * third[0]
+            ddy = sx * pb[1] + sy * n[1] + sz * third[1]
+            ddz = sx * pb[2] + sy * n[2] + sz * third[2]
+            if not quirks.unnormalized_ray_dirs:
+                ddx, ddy, ddz, _ = _normalize3(ddx, ddy, ddz)
+            return ddx, ddy, ddz
+
+        def bounce_origin(x, n):
+            if clean_offsets:
+                xn = jnp.sqrt(jnp.maximum(
+                    x[0] * x[0] + x[1] * x[1] + x[2] * x[2], 0.0))
+                sc = CLEAN_T_EPS * (1.0 + xn)
+                return (x[0] + sc * n[0], x[1] + sc * n[1], x[2] + sc * n[2])
+            return (x[0] + INDIRECT_ORIGIN_EPS, x[1] + INDIRECT_ORIGIN_EPS,
+                    x[2] + INDIRECT_ORIGIN_EPS)
+
+        need_geo_final = point_on or dir_on
+
+        def path_body(p, acc):
+            ar, ag, ab = acc
+            idp = ids * jnp.uint32(P) + p.astype(jnp.uint32)
+            # state from the previous bounce's hit
+            xb, nb, pnb, pbb = x0, n0, pn0, pb0
+            Tb = None  # throughput; None until the first factor lands
+            difb, hitbf = dif0, hit0f
+            for b in range(1, D):
+                r1 = _draw(seed, b - 1, PURPOSE_PATH, idp, 0)
+                r2 = _draw(seed, b - 1, PURPOSE_PATH, idp, 1)
+                db3 = sample_dir(r1, r2, nb, pnb, pbb)
+                ob3 = bounce_origin(xb, nb)
+                if Tb is None:
+                    Tb = (base[0] * r1, base[1] * r1, base[2] * r1)
+                else:
+                    f = _TWO_PI * r1
+                    Tb = (Tb[0] * (f * difb[0]) * hitbf,
+                          Tb[1] * (f * difb[1]) * hitbf,
+                          Tb[2] * (f * difb[2]) * hitbf)
+                hitb, tb, idxb, _ = _scan_spheres(ob3, db3, sph, t_clip)
+                last = b == D - 1
+                need_geo = need_geo_final or not last
+                mb = _gather(idxb, full_rows if need_geo else shade_rows)
+                ambb, difb, specb, powb = unpack(mb)
+                hitbf = hitb.astype(jnp.float32)
+                missbf = 1.0 - hitbf
+                if need_geo:
+                    xb, nb = hit_geom(ob3, db3, tb, hitb,
+                                      mb[n_sc:n_sc + 3])
+                if need_geo_final:
+                    dbr, dbg, dbb = shade(xb, nb, ambb, difb, specb, powb)
+                else:
+                    dbr = amb_s[0] * ambb[0]
+                    dbg = amb_s[1] * ambb[1]
+                    dbb = amb_s[2] * ambb[2]
+                ar += Tb[0] * (hitbf * (dbr / _PI * difb[0]) + missbf * bg[0])
+                ag += Tb[1] * (hitbf * (dbg / _PI * difb[1]) + missbf * bg[1])
+                ab += Tb[2] * (hitbf * (dbb / _PI * difb[2]) + missbf * bg[2])
+                if not last:
+                    pnb, pbb = _tangent_frame(*nb)
+            return ar, ag, ab
+
+        zero = jnp.zeros(ids.shape, jnp.float32)
+        if P <= _UNROLL_PATHS:
+            acc = (zero, zero, zero)
+            for p in range(P):
+                acc = path_body(jnp.int32(p), acc)
+            ar, ag, ab = acc
+        else:
+            ar, ag, ab = jax.lax.fori_loop(0, P, path_body, (zero, zero, zero))
+        inv_p = np.float32(1.0 / P)
+        r_ref[...] = l0r + ar * inv_p
+        g_ref[...] = l0g + ag * inv_p
+        b_ref[...] = l0b + ab * inv_p
+
+    return kernel
+
+
+def _pathtrace_call(scene, cfg: RenderConfig, seed, sample_ids):
+    """Pad, pack the scalar tables, and launch the whole-frame kernel.
+    Returns radiance [N, 3] for the given flat sample ids."""
+    from skele_raytracer_tpu.ops.geometry import normalize
+
+    N = sample_ids.shape[0]
+    n_tiles = -(-N // TILE)
+    Np = n_tiles * TILE
+    ids = jnp.concatenate(
+        [sample_ids.astype(jnp.uint32),
+         jnp.zeros((Np - N,), jnp.uint32)]
+    )
+    spp = cfg.samples_per_pixel
+    pixel = (ids // jnp.uint32(spp)).astype(jnp.float32)
+    sample = (ids % jnp.uint32(spp)).astype(jnp.float32)
+    xs = jnp.mod(pixel, cfg.width)
+    ys = jnp.floor(pixel / cfg.width)
+    if cfg.grid_size > 0 and not cfg.quirks.diagonal_jitter:
+        ci = jnp.floor(sample / cfg.grid_size)
+        cj = jnp.mod(sample, cfg.grid_size)
+    else:
+        ci = cj = jnp.zeros_like(sample)
+
+    rows = Np // 128
+    plane = lambda a: a.reshape(rows, 128)
+
+    sph_t, cam_t = scene.spheres, scene.camera
+    S = sph_t.mask.shape[0]
+    sph_tab = jnp.concatenate(
+        [
+            sph_t.center,                       # 0:3
+            (sph_t.radius * sph_t.radius)[:, None],  # 3
+            sph_t.mask[:, None],                # 4
+            sph_t.ambient,                      # 5:8
+            sph_t.diffuse,                      # 8:11
+            sph_t.specular,                     # 11:14
+            sph_t.power[:, None],               # 14
+            jnp.zeros((S, 1), jnp.float32),     # 15 pad
+        ],
+        axis=1,
+    )
+    right = jnp.cross(-cam_t.direction, cam_t.up)
+    misc = jnp.concatenate(
+        [cam_t.position, right, cam_t.up, cam_t.direction, scene.ambient,
+         scene.background, jnp.zeros((6,), jnp.float32)]
+    )[None, :]
+
+    # Same static gate as ops/shading.direct_illumination: parity's zeroed
+    # fog reroutes (and so kills) the whole point-light block.
+    point_on = scene.has_point_lights and not (scene.has_fog and scene.fog_zeroed)
+    dir_on = scene.has_directional
+    plt = scene.point_lights
+    L = plt.mask.shape[0]
+    pl_tab = jnp.concatenate(
+        [plt.position, plt.colour, plt.mask[:, None],
+         jnp.zeros((L, 1), jnp.float32)], axis=1
+    )
+    dlt = scene.directional_lights
+    LD = dlt.mask.shape[0]
+    dl_tab = jnp.concatenate(
+        [normalize(dlt.direction), dlt.colour, dlt.mask[:, None],
+         jnp.zeros((LD, 1), jnp.float32)], axis=1
+    )
+    seed_arr = jnp.asarray(seed, jnp.uint32).reshape(1, 1)
+
+    # fov projection constant (ops/camera.py computes tan in f32 inside the
+    # trace; the f64-then-round value here can differ by 1 ulp — covered by
+    # the kernel-vs-jnp tolerance)
+    angle = float(np.float32(np.tan(np.pi * 0.5 * cfg.fov / 180.0)))
+
+    kernel = _build_kernel(
+        S=S, L=L, LD=LD, point_on=point_on, dir_on=dir_on,
+        use_shadows=cfg.use_shadows, mc=cfg.monte_carlo,
+        P=cfg.paths_per_sample, D=cfg.max_depth, grid=cfg.grid_size,
+        width=cfg.width, height=cfg.height, angle=angle,
+        quirks=cfg.quirks,
+    )
+
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    ray_spec = pl.BlockSpec((TILE_SUB, 128), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((rows, 128), jnp.float32)
+    r, g, b = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[smem, smem, smem, smem, smem,
+                  ray_spec, ray_spec, ray_spec, ray_spec, ray_spec],
+        out_specs=(ray_spec, ray_spec, ray_spec),
+        out_shape=(out_shape, out_shape, out_shape),
+        interpret=_interpret(),
+    )(sph_tab, misc, pl_tab, dl_tab, seed_arr,
+      plane(ids), plane(xs), plane(ys), plane(cj), plane(ci))
+    return jnp.stack(
+        [r.reshape(Np), g.reshape(Np), b.reshape(Np)], axis=1
+    )[:N]
+
+
+def _f0(x):
+    """float0 cotangent for integer primals."""
+    return np.zeros(np.shape(x), jax.dtypes.float0)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def pathtrace_ids(scene, cfg: RenderConfig, seed, sample_ids):
+    """Whole-frame kernel radiance [N, 3] with jnp-path gradients.
+
+    Forward: the Pallas megakernel (module docstring). Backward: the
+    differentiable jnp wavefront integrator re-computes the SAME estimator
+    (same RNG streams, same math) and its VJP supplies the scene
+    cotangents — value-equal to the kernel within float tolerance, and
+    gradient-identical to backend="jnp"."""
+    sg = jax.lax.stop_gradient
+    return _pathtrace_call(sg(scene), cfg, seed, sample_ids)
+
+
+def _pt_fwd(scene, cfg, seed, sample_ids):
+    return pathtrace_ids(scene, cfg, seed, sample_ids), (scene, seed, sample_ids)
+
+
+def _pt_bwd(cfg, res, g):
+    scene, seed, sample_ids = res
+    from skele_raytracer_tpu.models.renderer import render_ids_chunked_jnp
+
+    _, vjp = jax.vjp(
+        lambda s: render_ids_chunked_jnp(s, cfg, seed, sample_ids), scene
+    )
+    return vjp(g)[0], _f0(seed), _f0(sample_ids)
+
+
+pathtrace_ids.defvjp(_pt_fwd, _pt_bwd)

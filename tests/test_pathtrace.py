@@ -1,0 +1,185 @@
+"""Whole-frame path-trace Pallas kernel (ops/pallas/pathtrace.py) vs the
+differentiable jnp wavefront path: value equivalence across quirk modes,
+dispatch gating, gradient identity, and partition invariance.
+
+The kernel reimplements the reference's sphere-scene hot loop
+(src/raytrace.h:139-227, src/utils.h:87-121, src/blinn_phong.h) in one
+pallas_call; these tests pin it to models/integrator.integrate_linear,
+which is itself oracle-verified (tests/test_render_parity.py).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from skele_raytracer_tpu.config import CLEAN, RenderConfig
+from skele_raytracer_tpu.models.renderer import (
+    render_ids_chunked,
+    render_ids_chunked_jnp,
+)
+from skele_raytracer_tpu.ops.pallas import pathtrace
+from skele_raytracer_tpu.scene.parser import parse_scene, parse_scene_text
+
+SPHERES_SCN = """
+camera -6 2 -4 .77 0 .64 0 1 0 35
+background .05 .1 .15
+material .6 .55 .5 .7 .6 .5 .3 .25 .2 32 .2 .2 .2 1.5
+sphere 0 -50 0 50
+material .2 .8 .9 .25 .9 1 .3 .3 .3 16 .2 .2 .2 1.3
+sphere -3 1 0 .75
+material 0 .7 0 0 .7 0 .1 .2 .1 8 .9 .9 .9 1.1
+sphere 0 1.25 0 1
+material .1 .1 .9 .2 .2 1 .4 .4 .4 24 0 0 0 1.0
+sphere 3 1.5 0 1.25
+point_light 10 10 10 0 5 0
+point_light 0 3 7 3 1 40
+directional_light .8 .1 .1 -1 -1 1
+ambient_light .25 .25 .25
+max_depth 5
+"""
+
+
+@pytest.fixture(scope="module")
+def parsed_spheres():
+    return parse_scene_text(SPHERES_SCN)
+
+
+def _compare(parsed, cfg, seed=7, frac_tol=0.005, atol=1e-4):
+    """Kernel vs jnp radiance. Mosaic transcendental lowering can flip a
+    grazing hit by 1 ulp, so a small fraction of samples may differ
+    discretely; everything else must match to float tolerance."""
+    scene = parsed.to_scene(cfg.quirks)
+    assert pathtrace.use_pathtrace(scene, cfg), "kernel must serve this config"
+    n = cfg.width * cfg.height * cfg.samples_per_pixel
+    ids = jnp.arange(n, dtype=jnp.uint32)
+    a = np.asarray(render_ids_chunked(scene, cfg, jnp.uint32(seed), ids))
+    b = np.asarray(render_ids_chunked_jnp(scene, cfg, jnp.uint32(seed), ids))
+    err = np.abs(a - b)
+    frac_bad = (err > atol).mean()
+    assert frac_bad <= frac_tol, (
+        f"{frac_bad:.2%} of values differ (max {err.max():.3e})"
+    )
+    # discrete flips must stay rare enough not to move the frame mean
+    assert np.allclose(a.mean(0), b.mean(0), atol=5e-4)
+
+
+CFG = dict(width=24, height=16, use_shadows=True, backend="pallas")
+
+
+class TestEquivalence:
+    def test_parity_mc_depth2(self, parsed_spheres):
+        _compare(parsed_spheres, RenderConfig(
+            monte_carlo=True, num_paths=4, max_depth=2, **CFG))
+
+    def test_parity_plain_blinn_phong(self, parsed_spheres):
+        _compare(parsed_spheres, RenderConfig(**CFG))
+
+    def test_parity_mc_supersampled_depth3(self, parsed_spheres):
+        _compare(parsed_spheres, RenderConfig(
+            grid_size=2, monte_carlo=True, num_paths=3, max_depth=3, **CFG))
+
+    def test_clean_mc_depth2_shadows(self, parsed_spheres):
+        _compare(parsed_spheres, RenderConfig(
+            monte_carlo=True, num_paths=4, max_depth=2, quirks=CLEAN, **CFG))
+
+    def test_clean_mc_stratified_depth3(self, parsed_spheres):
+        _compare(parsed_spheres, RenderConfig(
+            grid_size=2, monte_carlo=True, num_paths=2, max_depth=3,
+            quirks=CLEAN, **CFG))
+
+    def test_no_shadows(self, parsed_spheres):
+        _compare(parsed_spheres, RenderConfig(
+            width=24, height=16, monte_carlo=True, num_paths=2, max_depth=2,
+            backend="pallas"))
+
+    def test_spheres2_parity_fog_zeroed(self):
+        # The headline scene: parity zeroes the fog (quirk
+        # fog_sscanf_mismatch), which statically folds away the whole
+        # point-light block (ops/shading.py) — the kernel must take the
+        # same ambient-only shading path.
+        parsed = parse_scene("/root/repo/scenes/spheres2.scn")
+        cfg = RenderConfig(
+            width=32, height=18, monte_carlo=True, num_paths=16, max_depth=2,
+            use_shadows=True, backend="pallas")
+        scene = parsed.to_scene(cfg.quirks)
+        assert scene.fog_zeroed and not scene.has_triangles
+        _compare(parsed, cfg)
+
+
+class TestDispatch:
+    def test_gates(self, parsed_spheres, parsed_test_scene):
+        cfg = RenderConfig(monte_carlo=True, num_paths=2, max_depth=2,
+                           backend="pallas")
+        sph = parsed_spheres.to_scene(cfg.quirks)
+        assert pathtrace.use_pathtrace(sph, cfg)
+        # jnp backend opts out
+        assert not pathtrace.use_pathtrace(sph, cfg.replace(backend="jnp"))
+        # triangle scenes route through the culled kernels instead
+        tri = parsed_test_scene.to_scene(cfg.quirks)
+        assert not pathtrace.use_pathtrace(tri, cfg)
+        # the clean Whitted frontier (non-MC, reflections on) is not served
+        clean_whitted = RenderConfig(backend="pallas", quirks=CLEAN)
+        sph_c = parsed_spheres.to_scene(CLEAN)
+        assert not pathtrace.use_pathtrace(sph_c, clean_whitted)
+
+    def test_real_fog_excluded(self, parsed_fog_scene):
+        cfg = RenderConfig(monte_carlo=True, num_paths=2, max_depth=2,
+                           backend="pallas", quirks=CLEAN)
+        scene = parsed_fog_scene.to_scene(CLEAN)
+        assert not pathtrace.use_pathtrace(scene, cfg)
+
+
+class TestGradients:
+    def test_grad_matches_jnp_backend(self, parsed_spheres):
+        """The custom_vjp recomputes through the jnp path, so the gradient
+        FORMULA is identical to backend="jnp"; the only difference is the
+        incoming cotangent 2*r, where r is the kernel's (float-tolerance)
+        forward — so grads agree to that same tolerance."""
+        cfg = RenderConfig(width=12, height=8, monte_carlo=True, num_paths=2,
+                           max_depth=2, use_shadows=True, backend="pallas")
+        scene = parsed_spheres.to_scene(cfg.quirks)
+        ids = jnp.arange(12 * 8, dtype=jnp.uint32)
+
+        def loss(s, c):
+            r = render_ids_chunked(s, c, jnp.uint32(3), ids)
+            return jnp.sum(r * r)
+
+        g_pallas = jax.grad(loss)(scene, cfg)
+        g_jnp = jax.grad(loss)(scene, cfg.replace(backend="jnp"))
+        for a, b in zip(jax.tree_util.tree_leaves(g_pallas),
+                        jax.tree_util.tree_leaves(g_jnp)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-5)
+
+    def test_grads_finite_and_nonzero(self, parsed_spheres):
+        cfg = RenderConfig(width=12, height=8, monte_carlo=True, num_paths=2,
+                           max_depth=2, use_shadows=True, backend="pallas")
+        scene = parsed_spheres.to_scene(cfg.quirks)
+        ids = jnp.arange(12 * 8, dtype=jnp.uint32)
+        g = jax.grad(lambda s: jnp.sum(
+            render_ids_chunked(s, cfg, jnp.uint32(3), ids) ** 2))(scene)
+        leaves = [np.asarray(x) for x in jax.tree_util.tree_leaves(g)]
+        assert all(np.isfinite(x).all() for x in leaves)
+        assert any(np.abs(x).sum() > 0 for x in leaves)
+
+
+class TestPartitionInvariance:
+    def test_split_ids_bitwise(self, parsed_spheres):
+        """Radiance is per-ray; any partition of the id space must
+        reproduce the identical values (the property device sharding and
+        progressive bands are built on)."""
+        cfg = RenderConfig(width=16, height=12, monte_carlo=True, num_paths=3,
+                           max_depth=2, use_shadows=True, backend="pallas")
+        scene = parsed_spheres.to_scene(cfg.quirks)
+        n = 16 * 12
+        ids = jnp.arange(n, dtype=jnp.uint32)
+        whole = np.asarray(
+            pathtrace.pathtrace_ids(scene, cfg, jnp.uint32(5), ids))
+        parts = [
+            np.asarray(pathtrace.pathtrace_ids(
+                scene, cfg, jnp.uint32(5), ids[i:i + 64]))
+            for i in range(0, n, 64)
+        ]
+        np.testing.assert_array_equal(whole, np.concatenate(parts))
