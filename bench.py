@@ -102,12 +102,10 @@ def _bench_dragon():
 
 def main() -> None:
     scene = parse_scene("scenes/spheres2.scn").to_scene()
-    # Forward rendering uses the whole-frame path-trace Pallas kernel
-    # (ops/pallas/pathtrace.py — the TPU-native default for sphere
-    # scenes); training differentiates through the jnp wavefront path
-    # (the kernel's custom_vjp recomputes it anyway, so benching fwd+bwd
-    # on backend="jnp" reports the step a training user actually runs
-    # without paying an extra kernel launch for the primal).
+    # Both directions ride the whole-frame path-trace Pallas kernel
+    # (ops/pallas/pathtrace.py): the forward is one pallas_call per
+    # frame; the backward replays shading from the kernel's saved
+    # per-bounce hit records (custom_vjp) — no re-intersection.
     cfg = RenderConfig(
         width=W,
         height=H,
@@ -123,9 +121,8 @@ def main() -> None:
     fwd = jax.jit(lambda s, k: render_radiance(s, cfg, k))
     t_fwd = _time(fwd, scene, key)
 
-    cfg_jnp = cfg.replace(backend="jnp")
     target = jnp.zeros((H, W, 3), jnp.float32)
-    fwdbwd = jax.jit(jax.grad(lambda s, k: full_loss(s, cfg_jnp, k, target)))
+    fwdbwd = jax.jit(jax.grad(lambda s, k: full_loss(s, cfg, k, target)))
     t_fwdbwd = _time(fwdbwd, scene, key)
 
     dragon = _bench_dragon()

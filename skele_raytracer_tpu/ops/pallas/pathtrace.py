@@ -223,8 +223,17 @@ def _build_kernel(
     height: int,
     angle: float,
     quirks,
+    emit_records: bool = False,
 ):
-    """Close the static render configuration over the kernel body."""
+    """Close the static render configuration over the kernel body.
+
+    emit_records: additionally write one packed int32 hit record per
+    (sample, bounce) — bits 0:8 sphere index, bit 8 hit flag, bits 9+
+    per-light unshadowed flags (point lights first, then directional,
+    both at their padded table positions). The custom_vjp backward
+    replays shading from these records instead of re-intersecting.
+    Requires the unrolled path loop (record slots are static indices).
+    """
     aspect = width / float(height)
     inv_w, inv_h = 1.0 / width, 1.0 / height
     t_clip = 1.0 if quirks.near_clip_t_le_1 else CLEAN_T_EPS
@@ -235,7 +244,9 @@ def _build_kernel(
         return ref[row, col0], ref[row, col0 + 1], ref[row, col0 + 2]
 
     def kernel(sph_ref, misc_ref, pl_ref, dl_ref, seed_ref, ids_ref,
-               xs_ref, ys_ref, cj_ref, ci_ref, r_ref, g_ref, b_ref):
+               xs_ref, ys_ref, cj_ref, ci_ref, r_ref, g_ref, b_ref,
+               *maybe_rec):
+        rec_ref = maybe_rec[0] if emit_records else None
         seed = seed_ref[0, 0]
         ids = ids_ref[...]
         xs = xs_ref[...]
@@ -291,12 +302,14 @@ def _build_kernel(
 
         def shade(x, n, amb, dif, spec, powr):
             """direct_illumination (ops/shading.py) on planes: ambient +
-            per-light Blinn-Phong with optional shadow scans."""
+            per-light Blinn-Phong with optional shadow scans. Also
+            returns the packed per-light unshadowed bits (or None)."""
             dr = amb_s[0] * amb[0]
             dg = amb_s[1] * amb[1]
             db = amb_s[2] * amb[2]
+            bits = None
             if not (plights or dlights):
-                return dr, dg, db
+                return dr, dg, db, bits
             # view vector from the CAMERA position (src/blinn_phong.h:93)
             vx, vy, vz, _ = _normalize3(cam[0] - x[0], cam[1] - x[1],
                                         cam[2] - x[2])
@@ -310,7 +323,7 @@ def _build_kernel(
             else:
                 sh_o = (x[0] + SHADOW_ORIGIN_EPS, x[1] + SHADOW_ORIGIN_EPS,
                         x[2] + SHADOW_ORIGIN_EPS)
-            for (lx, ly, lz, cr, cg, cb, lm) in plights:
+            for li, (lx, ly, lz, cr, cg, cb, lm) in enumerate(plights):
                 lvx, lvy, lvz = lx - x[0], ly - x[1], lz - x[2]
                 d2 = lvx * lvx + lvy * lvy + lvz * lvz
                 pos = d2 > 0
@@ -321,7 +334,11 @@ def _build_kernel(
                     sdx, sdy, sdz, _ = _normalize3(lvx, lvy, lvz)
                     occ = _occluded(sh_o, (sdx, sdy, sdz), sph, t_clip,
                                     d_l if shadow_bound else None)
-                    gate = lm * (~occ).astype(jnp.float32)
+                    unsh = (~occ).astype(jnp.int32)
+                    gate = lm * unsh.astype(jnp.float32)
+                    if emit_records:
+                        b_l = unsh << (9 + li)
+                        bits = b_l if bits is None else bits | b_l
                 else:
                     gate = lm * jnp.ones_like(d_l)
                 intensity = 1.0 / jnp.maximum(d_l * d_l, 1e-30)
@@ -339,13 +356,17 @@ def _build_kernel(
                 dr += (dif[0] * cr * ndotl + spec[0] * cr * spow) * gi
                 dg += (dif[1] * cg * ndotl + spec[1] * cg * spow) * gi
                 db += (dif[2] * cb * ndotl + spec[2] * cb * spow) * gi
-            for (ldx0, ldy0, ldz0, cr, cg, cb, lm) in dlights:
+            for li, (ldx0, ldy0, ldz0, cr, cg, cb, lm) in enumerate(dlights):
                 ldx = jnp.broadcast_to(ldx0, x[0].shape)
                 ldy = jnp.broadcast_to(ldy0, x[0].shape)
                 ldz = jnp.broadcast_to(ldz0, x[0].shape)
                 if use_shadows:
                     occ = _occluded(sh_o, (ldx, ldy, ldz), sph, t_clip, None)
-                    gate = lm * (~occ).astype(jnp.float32)
+                    unsh = (~occ).astype(jnp.int32)
+                    gate = lm * unsh.astype(jnp.float32)
+                    if emit_records:
+                        b_l = unsh << (9 + L + li)
+                        bits = b_l if bits is None else bits | b_l
                 else:
                     gate = lm * jnp.ones_like(x[0])
                 ndotl = jnp.maximum(0.0, n[0] * ldx + n[1] * ldy + n[2] * ldz)
@@ -361,7 +382,13 @@ def _build_kernel(
                 dr += (dif[0] * cr * ndotl + spec[0] * cr * spow) * gate
                 dg += (dif[1] * cg * ndotl + spec[1] * cg * spow) * gate
                 db += (dif[2] * cb * ndotl + spec[2] * cb * spow) * gate
-            return dr, dg, db
+            return dr, dg, db, bits
+
+        def pack_rec(idx, hit, bits):
+            rec = idx | (hit.astype(jnp.int32) << 8)
+            if bits is not None:
+                rec = rec | bits
+            return rec
 
         def hit_geom(o, d, t, hit, centers):
             """(point, normal) from the scan result + gathered center."""
@@ -398,7 +425,9 @@ def _build_kernel(
         amb0, dif0, spec0, pow0 = unpack(m0)
         cen0 = m0[n_sc:n_sc + 3]
         x0, n0 = hit_geom(cam, (dx, dy, dz), t0, hit0, cen0)
-        d0r, d0g, d0b = shade(x0, n0, amb0, dif0, spec0, pow0)
+        d0r, d0g, d0b, bits0 = shade(x0, n0, amb0, dif0, spec0, pow0)
+        if emit_records:
+            rec_ref[0, ...] = pack_rec(idx0, hit0, bits0)
 
         hit0f = hit0.astype(jnp.float32)
         miss0f = 1.0 - hit0f
@@ -460,7 +489,7 @@ def _build_kernel(
 
         def path_body(p, acc):
             ar, ag, ab = acc
-            idp = ids * jnp.uint32(P) + p.astype(jnp.uint32)
+            idp = ids * jnp.uint32(P) + jnp.uint32(p)
             # state from the previous bounce's hit
             xb, nb, pnb, pbb = x0, n0, pn0, pb0
             Tb = None  # throughput; None until the first factor lands
@@ -488,11 +517,16 @@ def _build_kernel(
                     xb, nb = hit_geom(ob3, db3, tb, hitb,
                                       mb[n_sc:n_sc + 3])
                 if need_geo_final:
-                    dbr, dbg, dbb = shade(xb, nb, ambb, difb, specb, powb)
+                    dbr, dbg, dbb, bitsb = shade(xb, nb, ambb, difb, specb,
+                                                 powb)
                 else:
                     dbr = amb_s[0] * ambb[0]
                     dbg = amb_s[1] * ambb[1]
                     dbb = amb_s[2] * ambb[2]
+                    bitsb = None
+                if emit_records:
+                    rec_ref[1 + p * (D - 1) + (b - 1), ...] = pack_rec(
+                        idxb, hitb, bitsb)
                 ar += Tb[0] * (hitbf * (dbr / _PI * difb[0]) + missbf * bg[0])
                 ag += Tb[1] * (hitbf * (dbg / _PI * difb[1]) + missbf * bg[1])
                 ab += Tb[2] * (hitbf * (dbb / _PI * difb[2]) + missbf * bg[2])
@@ -504,9 +538,10 @@ def _build_kernel(
         if P <= _UNROLL_PATHS:
             acc = (zero, zero, zero)
             for p in range(P):
-                acc = path_body(jnp.int32(p), acc)
+                acc = path_body(p, acc)
             ar, ag, ab = acc
         else:
+            assert not emit_records, "records need static path slots"
             ar, ag, ab = jax.lax.fori_loop(0, P, path_body, (zero, zero, zero))
         inv_p = np.float32(1.0 / P)
         r_ref[...] = l0r + ar * inv_p
@@ -516,9 +551,18 @@ def _build_kernel(
     return kernel
 
 
-def _pathtrace_call(scene, cfg: RenderConfig, seed, sample_ids):
+def _n_records(cfg: RenderConfig) -> int:
+    """Hit records per sample: primary + one per (path, bounce)."""
+    if not cfg.monte_carlo or cfg.max_depth <= 1:
+        return 1
+    return 1 + cfg.paths_per_sample * (cfg.max_depth - 1)
+
+
+def _pathtrace_call(scene, cfg: RenderConfig, seed, sample_ids,
+                    with_records: bool = False):
     """Pad, pack the scalar tables, and launch the whole-frame kernel.
-    Returns radiance [N, 3] for the given flat sample ids."""
+    Returns radiance [N, 3] for the given flat sample ids (plus the
+    packed [K, N] int32 hit records when with_records)."""
     from skele_raytracer_tpu.ops.geometry import normalize
 
     N = sample_ids.shape[0]
@@ -591,26 +635,37 @@ def _pathtrace_call(scene, cfg: RenderConfig, seed, sample_ids):
         use_shadows=cfg.use_shadows, mc=cfg.monte_carlo,
         P=cfg.paths_per_sample, D=cfg.max_depth, grid=cfg.grid_size,
         width=cfg.width, height=cfg.height, angle=angle,
-        quirks=cfg.quirks,
+        quirks=cfg.quirks, emit_records=with_records,
     )
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     ray_spec = pl.BlockSpec((TILE_SUB, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((rows, 128), jnp.float32)
-    r, g, b = pl.pallas_call(
+    out_specs = [ray_spec, ray_spec, ray_spec]
+    out_shapes = [out_shape, out_shape, out_shape]
+    if with_records:
+        K = _n_records(cfg)
+        out_specs.append(pl.BlockSpec((K, TILE_SUB, 128), lambda i: (0, i, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct((K, rows, 128), jnp.int32))
+    out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[smem, smem, smem, smem, smem,
                   ray_spec, ray_spec, ray_spec, ray_spec, ray_spec],
-        out_specs=(ray_spec, ray_spec, ray_spec),
-        out_shape=(out_shape, out_shape, out_shape),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
         interpret=_interpret(),
     )(sph_tab, misc, pl_tab, dl_tab, seed_arr,
       plane(ids), plane(xs), plane(ys), plane(cj), plane(ci))
-    return jnp.stack(
+    r, g, b = out[0], out[1], out[2]
+    radiance = jnp.stack(
         [r.reshape(Np), g.reshape(Np), b.reshape(Np)], axis=1
     )[:N]
+    if with_records:
+        return radiance, out[3].reshape(-1, Np)[:, :N]
+    return radiance
 
 
 def _f0(x):
@@ -618,30 +673,222 @@ def _f0(x):
     return np.zeros(np.shape(x), jax.dtypes.float0)
 
 
+# ---------------------------------------------------------------------------
+# Hit-structure replay: the differentiable backward of the kernel
+# ---------------------------------------------------------------------------
+
+
+def _replay_radiance(scene, cfg: RenderConfig, seed, sample_ids, rec):
+    """Differentiable jnp re-computation of the kernel's radiance FROM the
+    saved hit structure (the same contract as megakernel.shade_replay,
+    here for the whole path-trace chain): per-bounce sphere t replayed
+    from the SELECTED sphere's quadratic (O(rays), src/utils.h:113-121),
+    shading gated by the saved per-light unshadowed bits — no argmin, no
+    [rays, spheres] scans, no shadow scans. rec: [K, N] int32 packed
+    (index | hit<<8 | unshadowed bits<<9)."""
+    from skele_raytracer_tpu.ops import sampling
+    from skele_raytracer_tpu.ops.camera import rays_for_ids
+    from skele_raytracer_tpu.ops.geometry import (
+        _pos_sqrt,
+        dot,
+        norm,
+        normalize,
+        offset_origin,
+        one_hot_rows,
+    )
+    from skele_raytracer_tpu.ops.shading import _pack_material, _unpack_material
+
+    q = cfg.quirks
+    S = scene.spheres.mask.shape[0]
+    point_on = scene.has_point_lights and not (
+        scene.has_fog and scene.fog_zeroed
+    )
+    dir_on = scene.has_directional
+    packed = _pack_material(scene.spheres)
+    Lp = scene.point_lights.mask.shape[0]
+
+    def unpack_rec(r):
+        return r & 0xFF, ((r >> 8) & 1).astype(bool)
+
+    def replay_hit(o, d, idx, hit):
+        oh = one_hot_rows(idx, S)
+        cen = oh @ scene.spheres.center
+        rad = (oh @ scene.spheres.radius[:, None])[:, 0]
+        ec = o - cen
+        a = dot(d, d)
+        b = 2.0 * dot(d, ec)
+        c = dot(ec, ec) - rad ** 2
+        t = (-b - _pos_sqrt(b * b - 4.0 * a * c)) / (2.0 * a)
+        tsafe = jnp.where(hit, t, 0.0)
+        x = o + d * tsafe[:, None]
+        n = normalize(x - cen)
+        return x, n, _unpack_material(oh @ packed)
+
+    def gates_from_bits(r, base_bit, count):
+        if not cfg.use_shadows:
+            return jnp.ones((r.shape[0], count), jnp.float32)
+        cols = jnp.arange(count, dtype=jnp.int32)[None, :]
+        return ((r[:, None] >> (base_bit + cols)) & 1).astype(jnp.float32)
+
+    def shade_replay(x, n, mat, r):
+        total = scene.ambient[None, :] * mat.ambient
+        if not (point_on or dir_on):
+            return total
+        view = normalize(scene.camera.position[None, :] - x)
+        if point_on:
+            pl_ = scene.point_lights
+            gate = gates_from_bits(r, 9, Lp) * pl_.mask[None, :]
+            l_vec = pl_.position[None, :, :] - x[:, None, :]
+            d_l = norm(l_vec)
+            l = l_vec / jnp.maximum(d_l, 1e-30)[:, :, None]
+            intensity = 1.0 / jnp.maximum(d_l * d_l, 1e-30)
+            ndotl = jnp.maximum(0.0, dot(n[:, None, :], l))
+            diffuse_pt = (mat.diffuse[:, None, :] * pl_.colour[None, :, :]
+                          * (intensity * ndotl)[:, :, None])
+            h_raw = view[:, None, :] + l
+            h = h_raw / jnp.maximum(norm(h_raw, keepdims=True), 1e-30)
+            ndoth = jnp.maximum(0.0, dot(n[:, None, :], h))
+            spow = jnp.power(jnp.maximum(ndoth, 1e-30),
+                             mat.power[:, None]) * (ndoth > 0)
+            specular_pt = (mat.specular[:, None, :] * pl_.colour[None, :, :]
+                           * (intensity * spow)[:, :, None])
+            total = total + jnp.sum(
+                (diffuse_pt + specular_pt) * gate[:, :, None], axis=1)
+        if dir_on:
+            dl_ = scene.directional_lights
+            Ld = dl_.mask.shape[0]
+            gate = gates_from_bits(r, 9 + Lp, Ld) * dl_.mask[None, :]
+            ld = normalize(dl_.direction)[None, :, :]
+            ld = jnp.broadcast_to(ld, (x.shape[0],) + ld.shape[1:])
+            ndotl = jnp.maximum(0.0, dot(n[:, None, :], ld))
+            diffuse_d = (mat.diffuse[:, None, :] * dl_.colour[None, :, :]
+                         * ndotl[:, :, None])
+            h_raw = view[:, None, :] + ld
+            h = h_raw / jnp.maximum(norm(h_raw, keepdims=True), 1e-30)
+            ndoth = jnp.maximum(0.0, dot(n[:, None, :], h))
+            spow = jnp.power(jnp.maximum(ndoth, 1e-30),
+                             mat.power[:, None]) * (ndoth > 0)
+            specular_d = (mat.specular[:, None, :] * dl_.colour[None, :, :]
+                          * spow[:, :, None])
+            total = total + jnp.sum(
+                (diffuse_d + specular_d) * gate[:, :, None], axis=1)
+        return total
+
+    o, d = rays_for_ids(scene.camera, cfg, seed, sample_ids)
+    idx0, hit0 = unpack_rec(rec[0])
+    x0, n0, mat0 = replay_hit(o, d, idx0, hit0)
+    direct0 = shade_replay(x0, n0, mat0, rec[0])
+    bg = jnp.broadcast_to(scene.background[None, :], direct0.shape)
+    hit0c = hit0[:, None]
+    if not cfg.monte_carlo:
+        return jnp.where(hit0c, direct0, bg)
+    l0 = jnp.where(hit0c, direct0 / jnp.pi * mat0.diffuse, bg)
+    D, P = cfg.max_depth, cfg.paths_per_sample
+    if D <= 1:
+        return l0
+
+    acc = jnp.zeros_like(l0)
+    hit0f = hit0.astype(jnp.float32)
+    for p in range(P):
+        pid = sample_ids.astype(jnp.uint32) * jnp.uint32(P) + jnp.uint32(p)
+        xb, nb, difb, hitbf = x0, n0, mat0.diffuse, hit0f
+        T = None
+        for b in range(1, D):
+            rdraw = sampling.uniform(seed, pid, b - 1, sampling.PURPOSE_PATH,
+                                     (2,))
+            r1, r2 = rdraw[:, 0], rdraw[:, 1]
+            smp = sampling.uniform_sample_hemi(r1, r2)
+            d_new = sampling.to_world(smp, nb, quirks=q)
+            if not q.unnormalized_ray_dirs:
+                d_new = normalize(d_new)
+            if q.scalar_epsilon_offset:
+                o_new = xb + INDIRECT_ORIGIN_EPS
+            else:
+                o_new = offset_origin(xb, nb)
+            f = 2.0 * jnp.pi * r1[:, None] * difb
+            T = f * hitbf[:, None] if T is None else T * f * hitbf[:, None]
+            rk = rec[1 + p * (D - 1) + (b - 1)]
+            idxb, hitb = unpack_rec(rk)
+            xb, nb, matb = replay_hit(o_new, d_new, idxb, hitb)
+            directb = shade_replay(xb, nb, matb, rk)
+            acc = acc + T * jnp.where(
+                hitb[:, None], directb / jnp.pi * matb.diffuse, bg)
+            difb, hitbf = matb.diffuse, hitb.astype(jnp.float32)
+    return l0 + acc / P
+
+
+def _replay_chunked(scene, cfg: RenderConfig, seed, sample_ids, rec):
+    """Chunk + rematerialize the replay (same rationale as
+    renderer.render_ids_chunked_jnp: the per-bounce AD residuals of a
+    whole 1080p frame would be GBs)."""
+    n = sample_ids.shape[0]
+    fan = max(cfg.paths_per_sample, 1)
+    chunk = max(128, min(max(1, cfg.rays_per_chunk // fan), n))
+    n_chunks = -(-n // chunk)
+    padded = n_chunks * chunk
+    K = rec.shape[0]
+    ids = jnp.concatenate(
+        [sample_ids, jnp.zeros((padded - n,), sample_ids.dtype)]
+    ).reshape(n_chunks, chunk)
+    rec_p = jnp.concatenate(
+        [rec, jnp.zeros((K, padded - n), rec.dtype)], axis=1
+    ).reshape(K, n_chunks, chunk).transpose(1, 0, 2)
+    body = jax.checkpoint(
+        lambda args: _replay_radiance(scene, cfg, seed, args[0], args[1])
+    )
+    radiance = jax.lax.map(body, (ids, rec_p))
+    return radiance.reshape(padded, 3)[:n]
+
+
+def _can_replay(scene, cfg: RenderConfig) -> bool:
+    """Records fit: static path slots, 8-bit sphere index, and (with
+    shadows) every padded light's unshadowed bit inside an int32."""
+    L = scene.point_lights.mask.shape[0]
+    LD = scene.directional_lights.mask.shape[0]
+    return (
+        cfg.paths_per_sample <= _UNROLL_PATHS
+        and scene.spheres.mask.shape[0] <= 256
+        and (not cfg.use_shadows or 9 + L + LD <= 32)
+    )
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(1,))
 def pathtrace_ids(scene, cfg: RenderConfig, seed, sample_ids):
-    """Whole-frame kernel radiance [N, 3] with jnp-path gradients.
+    """Whole-frame kernel radiance [N, 3], differentiable.
 
     Forward: the Pallas megakernel (module docstring). Backward: the
-    differentiable jnp wavefront integrator re-computes the SAME estimator
-    (same RNG streams, same math) and its VJP supplies the scene
-    cotangents — value-equal to the kernel within float tolerance, and
-    gradient-identical to backend="jnp"."""
+    kernel's saved per-bounce hit records drive `_replay_radiance` — the
+    backward pass reuses the forward's intersection structure instead of
+    re-intersecting. Configs whose records don't fit (`_can_replay`)
+    fall back to re-deriving everything through the jnp wavefront path,
+    whose estimator is identical."""
     sg = jax.lax.stop_gradient
     return _pathtrace_call(sg(scene), cfg, seed, sample_ids)
 
 
 def _pt_fwd(scene, cfg, seed, sample_ids):
-    return pathtrace_ids(scene, cfg, seed, sample_ids), (scene, seed, sample_ids)
+    sg = jax.lax.stop_gradient
+    if _can_replay(scene, cfg):
+        radiance, rec = _pathtrace_call(
+            sg(scene), cfg, seed, sample_ids, with_records=True
+        )
+        return radiance, (scene, seed, sample_ids, rec)
+    radiance = _pathtrace_call(sg(scene), cfg, seed, sample_ids)
+    return radiance, (scene, seed, sample_ids, None)
 
 
 def _pt_bwd(cfg, res, g):
-    scene, seed, sample_ids = res
-    from skele_raytracer_tpu.models.renderer import render_ids_chunked_jnp
+    scene, seed, sample_ids, rec = res
+    if rec is None:
+        from skele_raytracer_tpu.models.renderer import render_ids_chunked_jnp
 
-    _, vjp = jax.vjp(
-        lambda s: render_ids_chunked_jnp(s, cfg, seed, sample_ids), scene
-    )
+        _, vjp = jax.vjp(
+            lambda s: render_ids_chunked_jnp(s, cfg, seed, sample_ids), scene
+        )
+    else:
+        _, vjp = jax.vjp(
+            lambda s: _replay_chunked(s, cfg, seed, sample_ids, rec), scene
+        )
     return vjp(g)[0], _f0(seed), _f0(sample_ids)
 
 

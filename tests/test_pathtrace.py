@@ -153,6 +153,42 @@ class TestGradients:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-3, atol=1e-5)
 
+    def test_grad_matches_jnp_backend_clean(self, parsed_spheres):
+        """Clean mode exercises normal-offset origins, bounded shadows,
+        and the directional-light bits in the replay."""
+        cfg = RenderConfig(width=12, height=8, monte_carlo=True, num_paths=2,
+                           max_depth=2, use_shadows=True, backend="pallas",
+                           quirks=CLEAN)
+        scene = parsed_spheres.to_scene(CLEAN)
+        ids = jnp.arange(12 * 8, dtype=jnp.uint32)
+
+        def loss(s, c):
+            r = render_ids_chunked(s, c, jnp.uint32(3), ids)
+            return jnp.sum(r * r)
+
+        g_pallas = jax.grad(loss)(scene, cfg)
+        g_jnp = jax.grad(loss)(scene, cfg.replace(backend="jnp"))
+        for a, b in zip(jax.tree_util.tree_leaves(g_pallas),
+                        jax.tree_util.tree_leaves(g_jnp)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-5)
+
+    def test_replay_value_matches_kernel(self, parsed_spheres):
+        """The saved hit records replayed through the differentiable jnp
+        chain must reproduce the kernel's own radiance (same structure,
+        same math — only float-tolerance apart)."""
+        cfg = RenderConfig(width=16, height=12, monte_carlo=True, num_paths=3,
+                           max_depth=3, use_shadows=True, backend="pallas")
+        scene = parsed_spheres.to_scene(cfg.quirks)
+        ids = jnp.arange(16 * 12, dtype=jnp.uint32)
+        assert pathtrace._can_replay(scene, cfg)
+        radiance, rec = pathtrace._pathtrace_call(
+            scene, cfg, jnp.uint32(9), ids, with_records=True)
+        replayed = pathtrace._replay_chunked(
+            scene, cfg, jnp.uint32(9), ids, rec)
+        np.testing.assert_allclose(np.asarray(replayed), np.asarray(radiance),
+                                   rtol=1e-4, atol=1e-5)
+
     def test_grads_finite_and_nonzero(self, parsed_spheres):
         cfg = RenderConfig(width=12, height=8, monte_carlo=True, num_paths=2,
                            max_depth=2, use_shadows=True, backend="pallas")
