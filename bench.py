@@ -125,7 +125,19 @@ def main() -> None:
     fwdbwd = jax.jit(jax.grad(lambda s, k: full_loss(s, cfg, k, target)))
     t_fwdbwd = _time(fwdbwd, scene, key)
 
+    # 4K scaling point: the fixed host<->device round-trip (~28 ms through
+    # this container) dominates at 1080p; at 4x the rays the kernel's
+    # device throughput shows through.
+    cfg4k = cfg.replace(width=3840, height=2160)
+    fwd4k = jax.jit(lambda s, k: render_radiance(s, cfg4k, k))
+    t_4k = _time(fwd4k, scene, key)
+
     dragon = _bench_dragon()
+    dragon.append(
+        {"config": "spheres2 3840x2160 parity gillum16 shadows",
+         "s_per_frame": round(t_4k, 4),
+         "rays_per_sec": round(3840 * 2160 * 17 / t_4k)}
+    )
 
     # Speed-of-light accounting (utils/roofline.py): analytic FLOPs +
     # minimal-HBM model of the headline frame vs TPU v5e peaks.

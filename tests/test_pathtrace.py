@@ -201,6 +201,26 @@ class TestGradients:
         assert any(np.abs(x).sum() > 0 for x in leaves)
 
 
+class TestSharded:
+    def test_sharded_render_matches_single_device(self, parsed_spheres):
+        """The kernel path composes with shard_map: an 8-device mesh
+        renders the same frame (per-ray values are partition-independent;
+        the final stack/mean ops may reassociate by an ulp)."""
+        from skele_raytracer_tpu.models.renderer import render_radiance
+        from skele_raytracer_tpu.parallel.api import make_mesh, render_radiance_sharded
+
+        cfg = RenderConfig(width=16, height=12, monte_carlo=True, num_paths=2,
+                           max_depth=2, use_shadows=True, backend="pallas")
+        scene = parsed_spheres.to_scene(cfg.quirks)
+        single = np.asarray(jax.jit(
+            lambda s, k: render_radiance(s, cfg, k))(scene, jnp.uint32(0)))
+        mesh = make_mesh()
+        sharded = np.asarray(jax.jit(
+            lambda s, k: render_radiance_sharded(s, cfg, k, mesh)
+        )(scene, jnp.uint32(0)))
+        np.testing.assert_allclose(single, sharded, atol=1e-6, rtol=0)
+
+
 class TestPartitionInvariance:
     def test_split_ids_bitwise(self, parsed_spheres):
         """Radiance is per-ray; any partition of the id space must
