@@ -41,6 +41,43 @@ TILE_R = 256  # rays per tile: smaller tiles shrink the tile-union cluster
 # config once the in-kernel front-to-back pretest prunes the tail)
 
 
+MAX_TILES = 512  # tiles per pallas_call: bounds the kernel's SMEM tables
+
+
+def _batched_launch(launch, order, counts, ent, feats):
+    """Run a tile-grid kernel launch in <= MAX_TILES batches (lax.map).
+
+    The scalar-prefetch shortlist/count tables and the sorted
+    entry-distance table live in SMEM sized by the GRID, so one launch
+    over a huge ray chunk overflows scalar memory (observed as a
+    remote-compiler crash past ~512 tiles x 80 clusters). Fixed-size
+    batches keep the kernel's SMEM footprint constant while letting
+    callers raise rays-per-chunk; every batch reuses the same compiled
+    program (static MAX_TILES grid).
+    """
+    n_tiles = order.shape[0]
+    if n_tiles <= MAX_TILES:
+        return launch(order, counts, ent, feats)
+    k = -(-n_tiles // MAX_TILES)
+    pad_t = k * MAX_TILES - n_tiles
+    xs = (
+        jnp.pad(order, ((0, pad_t), (0, 0))).reshape(k, MAX_TILES, -1),
+        jnp.pad(counts, (0, pad_t)).reshape(k, MAX_TILES),
+        jnp.pad(ent, ((0, pad_t), (0, 0)), constant_values=_BIG)
+        .reshape(k, MAX_TILES, -1),
+        jnp.pad(feats, ((0, pad_t * TILE_R), (0, 0)), constant_values=1.0)
+        .reshape(k, MAX_TILES * TILE_R, -1),
+    )
+    outs = jax.lax.map(lambda a: launch(*a), xs)
+
+    def crop(y):
+        return y.reshape(k * MAX_TILES * TILE_R, -1)[: n_tiles * TILE_R]
+
+    if isinstance(outs, tuple):
+        return tuple(crop(y) for y in outs)
+    return crop(outs)
+
+
 def _culled_kernel(
     # scalar prefetch
     shortlist_ref,  # [n_tiles, C] int32
@@ -374,41 +411,47 @@ def _culled_from_feats(feats, mesh: accel.ClusteredMesh, *, quirks: Quirks, live
     resident = mesh_resident_bytes(C, cs) <= RESIDENT_BUDGET_BYTES
     mesh_space = pltpu.VMEM if resident else pl.ANY
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # ent [n_tiles, C+1]
-            pl.BlockSpec((TILE_R, 9), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # lo
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # hi
-            pl.BlockSpec(memory_space=mesh_space),
-            pl.BlockSpec(memory_space=mesh_space),
-        ],
-        out_specs=(
-            pl.BlockSpec((TILE_R, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_R, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-        ),
-        scratch_shapes=[
-            pltpu.SMEM((1, 1), jnp.int32),
-            pltpu.VMEM((2, 9, 4, cs), jnp.float32),
-            pltpu.VMEM((2, 3, cs), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
-    )
-    t, idx = pl.pallas_call(
-        functools.partial(
-            _culled_kernel, sign=sign, t_clip=t_clip, cs=cs, resident=resident,
-            allow_negative=quirks.reference_triangle_test,
-        ),
-        grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((rp, 1), jnp.float32),
-            jax.ShapeDtypeStruct((rp, 1), jnp.int32),
-        ),
-        interpret=_interpret(),
-    )(order, counts, ent_sorted, feats, cull_lo, cull_hi, kc, aux)
+    def launch(order_b, counts_b, ent_b, feats_b):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(order_b.shape[0],),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # ent [tiles, C+1]
+                pl.BlockSpec((TILE_R, 9), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # lo
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # hi
+                pl.BlockSpec(memory_space=mesh_space),
+                pl.BlockSpec(memory_space=mesh_space),
+            ],
+            out_specs=(
+                pl.BlockSpec((TILE_R, 1), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TILE_R, 1), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.SMEM((1, 1), jnp.int32),
+                pltpu.VMEM((2, 9, 4, cs), jnp.float32),
+                pltpu.VMEM((2, 3, cs), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+        )
+        return pl.pallas_call(
+            functools.partial(
+                _culled_kernel, sign=sign, t_clip=t_clip, cs=cs,
+                resident=resident,
+                allow_negative=quirks.reference_triangle_test,
+            ),
+            grid_spec=grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct((feats_b.shape[0], 1), jnp.float32),
+                jax.ShapeDtypeStruct((feats_b.shape[0], 1), jnp.int32),
+            ),
+            interpret=_interpret(),
+        )(order_b, counts_b, ent_b, feats_b, cull_lo, cull_hi, kc, aux)
 
+    t, idx = _batched_launch(launch, order, counts, ent_sorted, feats)
     t, idx = t[:R, 0], idx[:R, 0]
     hit = t < _BIG
     # idx already holds the ORIGINAL triangle index (tie-broken to the
@@ -668,34 +711,38 @@ def _occluded_from_fb(fb, mesh: accel.ClusteredMesh, *, quirks: Quirks, live=Non
     resident = mesh_resident_bytes(C, cs) <= RESIDENT_BUDGET_BYTES
     mesh_space = pltpu.VMEM if resident else pl.ANY
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # ent [n_tiles, C+1]
-            pl.BlockSpec((TILE_R, 10), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # lo
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # hi
-            pl.BlockSpec(memory_space=mesh_space),
-            pl.BlockSpec(memory_space=mesh_space),
-        ],
-        out_specs=pl.BlockSpec(
-            (TILE_R, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=[
-            pltpu.SMEM((1, 1), jnp.int32),
-            pltpu.VMEM((2, 9, 4, cs), jnp.float32),
-            pltpu.VMEM((2, 3, cs), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
-    )
-    occ = pl.pallas_call(
-        functools.partial(
-            _occluded_kernel, sign=sign, t_clip=t_clip, cs=cs,
-            resident=resident,
-        ),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((rp, 1), jnp.float32),
-        interpret=_interpret(),
-    )(order, counts, ent_sorted, fb_p, cull_lo, cull_hi, kc, aux)
+    def launch(order_b, counts_b, ent_b, fb_b):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(order_b.shape[0],),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # ent [tiles, C+1]
+                pl.BlockSpec((TILE_R, 10), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # lo
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # hi
+                pl.BlockSpec(memory_space=mesh_space),
+                pl.BlockSpec(memory_space=mesh_space),
+            ],
+            out_specs=pl.BlockSpec(
+                (TILE_R, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.SMEM((1, 1), jnp.int32),
+                pltpu.VMEM((2, 9, 4, cs), jnp.float32),
+                pltpu.VMEM((2, 3, cs), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+        )
+        return pl.pallas_call(
+            functools.partial(
+                _occluded_kernel, sign=sign, t_clip=t_clip, cs=cs,
+                resident=resident,
+            ),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((fb_b.shape[0], 1), jnp.float32),
+            interpret=_interpret(),
+        )(order_b, counts_b, ent_b, fb_b, cull_lo, cull_hi, kc, aux)
+
+    occ = _batched_launch(launch, order, counts, ent_sorted, fb_p)
     return occ[:R, 0] > 0.5
