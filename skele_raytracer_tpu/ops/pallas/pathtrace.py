@@ -1,9 +1,10 @@
-"""Whole-frame path-trace Pallas megakernel for sphere scenes.
+"""Whole-frame path-trace Pallas megakernel for small (non-mesh) scenes.
 
 The headline benchmark (spheres2 1080p gillum16, the reference's timed
 config — reference src/main.cpp:19-104 + src/raytrace.h:139-227) runs on
-scenes with no triangles, so the hot loop is pure per-ray arithmetic:
-camera ray, a ~16-sphere nearest-hit scan, Blinn-Phong shading, and
+scenes whose primitive tables are tiny (~16 spheres, at most a few
+decorative triangles), so the hot loop is pure per-ray arithmetic:
+camera ray, unrolled nearest-primitive scans, Blinn-Phong shading, and
 `num_paths` Monte-Carlo continuation rays per sample. Traced through XLA
 (models/integrator.py) that frame decomposes into ~30 small ops per
 `lax.map` chunk x 254 chunks; a device trace shows each op is
@@ -12,27 +13,31 @@ not FLOPs.
 
 This kernel is the TPU-native fix: ONE `pallas_call` renders the whole
 frame. Each grid step takes a (SUB, 128) tile of flat sample ids and runs
-ray-gen + counter-based threefry RNG + the unrolled sphere scan + shading
-+ the full Monte-Carlo bounce loop entirely in VMEM/registers — zero HBM
-intermediates, zero kernel-launch boundaries. The scene rides along as
-SMEM scalar tables (a sphere scene is a few hundred scalars).
+ray-gen + counter-based threefry RNG + the unrolled sphere/triangle scans
++ shading (with in-register shadow scans) + the full Monte-Carlo bounce
+loop entirely in VMEM/registers — zero HBM intermediates, zero
+kernel-launch boundaries. The scene rides along as SMEM scalar tables (a
+small scene is a few hundred scalars). Mesh-scale scenes keep the culled
+streaming kernels (ops/pallas/culled.py); `use_pathtrace` draws the line.
 
 Semantics are the wavefront integrator's exactly (models/integrator.py
 `integrate_linear`, itself the re-design of reference src/raytrace.h:
 139-227): same threefry2x32 streams bit-for-bit (ops/sampling.py), same
-quadratic/root selection (src/utils.h:87-121), same parity quirks
+quadratic/root selection (src/utils.h:87-121), same triangle test incl.
+parity's mirrored-u negative-t variant (src/utils.h:181-213) and
+black-triangle shading (src/raytrace.h:221-224), same parity quirks
 (unnormalized dirs, t<=1 clip, diagonal jitter, buggy tangent frame,
 scalar epsilon offsets) or clean-mode replacements, same light loops
 (src/blinn_phong.h). The only numeric deviations are mul-by-reciprocal
 vs divide rounding (1 ulp) in t and transcendental lowering differences —
 tests/test_pathtrace.py pins the jnp path to float tolerance.
 
-Differentiation: `pathtrace_ids` is a custom_vjp — the forward runs this
-kernel; the backward recomputes the identical estimator through the
-differentiable jnp wavefront path (same RNG streams, same math), so
-gradients are exactly the jnp path's. The discrete per-bounce hit
-structure (17+ int records per sample at gillum16) would dwarf the frame
-itself if saved, so re-derivation is the memory-rational backward here.
+Differentiation: `pathtrace_ids` is a custom_vjp. Under differentiation
+the kernel additionally emits one packed int32 hit record per (sample,
+bounce) — primitive index, hit bit, triangle bit, per-light unshadowed
+bits — and the backward REPLAYS shading from those records in
+differentiable jnp at O(rays) (`_replay_radiance`): the backward reuses
+the forward's intersection structure instead of re-intersecting.
 """
 
 from __future__ import annotations
@@ -73,18 +78,23 @@ _PI = np.float32(np.pi)
 # beyond it a fori_loop bounds compile time.
 _UNROLL_PATHS = 32
 
-# Unrolled-scan budget: every sphere costs ~25 VPU ops per ray per scan.
-# Beyond this the [R, S] jnp formulation stops being latency-bound anyway.
+# Unrolled-scan budgets: every sphere costs ~25 VPU ops per ray per scan
+# and every triangle ~45. Beyond these the [R, prims] jnp / culled-kernel
+# formulations win anyway (mesh-scale scenes go through ops/pallas/culled).
 MAX_SPHERES = 64
+MAX_TRIS = 32
 
 
 def use_pathtrace(scene, cfg: RenderConfig) -> bool:
-    """True when this kernel serves the config: pallas backend, sphere-only
-    scene, linear (MC/parity) integrator, no value-bearing fog."""
+    """True when this kernel serves the config: pallas backend, a small
+    scene (spheres + at most MAX_TRIS decorative triangles — mesh scenes
+    stream through the culled kernels instead), linear (MC/parity)
+    integrator, no value-bearing fog."""
     return (
         cfg.backend == "pallas"
-        and scene.has_spheres
-        and not scene.has_triangles
+        and (scene.has_spheres or scene.has_triangles)
+        and not (scene.has_triangles
+                 and scene.triangles.mask.shape[0] > MAX_TRIS)
         and not (scene.has_fog and not scene.fog_zeroed)
         and (cfg.monte_carlo or cfg.quirks.disable_reflections)
         and scene.spheres.mask.shape[0] <= MAX_SPHERES
@@ -149,25 +159,78 @@ def _scan_spheres(o, d, sph, t_clip: float):
     return hit, t, bidx, a
 
 
-def _gather(bidx, rows):
-    """Select per-sphere scalars by the scan's winning index: for each
-    column, sum_s (bidx == s) * value[s]. rows: list over spheres of
-    per-column scalars. Misses gathered sphere 0 (bidx init 0), matching
-    the jnp argmin-of-all-inf convention."""
+def _gather(bidx, rows, valid=None):
+    """Select per-primitive scalars by the scan's winning index: for each
+    column, sum_s (bidx == s) * value[s]. rows: list over primitives of
+    per-column scalars. Misses gathered row 0 (bidx init 0), matching
+    the jnp argmin-of-all-inf convention; `valid` optionally gates whole
+    rays (the jnp one_hot_rows valid mask)."""
+    if not rows:
+        return []
     n_cols = len(rows[0])
     outs = [None] * n_cols
     for s, vals in enumerate(rows):
-        m = (bidx == s).astype(jnp.float32)
+        m = bidx == s
+        if valid is not None:
+            m = m & valid
+        m = m.astype(jnp.float32)
         for c in range(n_cols):
             term = m * vals[c]
             outs[c] = term if outs[c] is None else outs[c] + term
     return outs
 
 
-def _occluded(origin, direction, sph, t_clip: float, bound):
-    """Any-sphere occlusion scan (reference shadow(), src/utils.h:42-76):
-    parity is unbounded (occluders beyond the light still occlude); clean
-    bounds by the light distance. origin/direction: component planes."""
+def _tri_test(o, d, tri, ref_test: bool):
+    """Möller-Trumbore on component planes against ONE triangle's scalars
+    (geometry.ray_triangle_all semantics: parity keeps the sign-flipped u
+    and accepts negative t, src/utils.h:181-213; clean is standard MT
+    with t > CLEAN_T_EPS). Returns (valid, t)."""
+    from skele_raytracer_tpu.config import TRIANGLE_DET_EPS
+
+    ox, oy, oz = o
+    dx, dy, dz = d
+    (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z, msk) = tri
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    ok = jnp.abs(det) >= TRIANGLE_DET_EPS
+    inv = jnp.where(ok, 1.0, 0.0) / jnp.where(ok, det, 1.0)
+    tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
+    u_dot = tvx * px + tvy * py + tvz * pz
+    u = (-u_dot if ref_test else u_dot) * inv
+    qx = tvy * e1z - tvz * e1y
+    qy = tvz * e1x - tvx * e1z
+    qz = tvx * e1y - tvy * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv
+    valid = ok & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1) & (msk > 0)
+    if not ref_test:
+        valid = valid & (t > CLEAN_T_EPS)
+    return valid, t
+
+
+def _scan_tris(o, d, tris, ref_test: bool):
+    """Nearest-triangle scan on component planes (first-wins argmin over
+    t with invalid -> +BIG; parity's negative-t hits sort first exactly
+    as the reference's strict-< scan, src/raytrace.h:176-186)."""
+    best = jnp.full(d[0].shape, _BIG, jnp.float32)
+    bidx = jnp.zeros(d[0].shape, jnp.int32)
+    for s, tri in enumerate(tris):
+        valid, t = _tri_test(o, d, tri, ref_test)
+        upd = valid & (t < best)
+        best = jnp.where(upd, t, best)
+        bidx = jnp.where(upd, s, bidx)
+    return best < _BIG, best, bidx
+
+
+def _occluded(origin, direction, sph, t_clip: float, bound,
+              tris=(), ref_test: bool = False):
+    """Any-sphere (+ any-triangle in clean mode) occlusion scan
+    (reference shadow(), src/utils.h:42-76): parity is unbounded
+    (occluders beyond the light still occlude) and sphere-only; clean
+    bounds by the light distance and lets triangles occlude.
+    origin/direction: component planes."""
     ox, oy, oz = origin
     dx, dy, dz = direction
     a = dx * dx + dy * dy + dz * dz
@@ -187,6 +250,11 @@ def _occluded(origin, direction, sph, t_clip: float, bound):
         valid = (disc >= 0) & (num > clipnum) & (msk > 0)
         if bound is not None:
             valid = valid & (num * inv2a < bound)
+        occ = occ | valid
+    for tri in tris:
+        valid, t = _tri_test(origin, direction, tri[:10], ref_test)
+        if bound is not None:
+            valid = valid & (t < bound)
         occ = occ | valid
     return occ
 
@@ -210,8 +278,11 @@ def _tangent_frame(nx, ny, nz):
 def _build_kernel(
     *,
     S: int,
+    T: int,
     L: int,
     LD: int,
+    sph_on: bool,
+    tri_on: bool,
     point_on: bool,
     dir_on: bool,
     use_shadows: bool,
@@ -243,7 +314,11 @@ def _build_kernel(
     def read3(ref, row, col0):
         return ref[row, col0], ref[row, col0 + 1], ref[row, col0 + 2]
 
-    def kernel(sph_ref, misc_ref, pl_ref, dl_ref, seed_ref, ids_ref,
+    ref_test = quirks.reference_triangle_test
+    tri_black = quirks.triangles_shade_black
+    shadow_tris = tri_on and not quirks.sphere_only_shadows
+
+    def kernel(sph_ref, tri_ref, misc_ref, pl_ref, dl_ref, seed_ref, ids_ref,
                xs_ref, ys_ref, cj_ref, ci_ref, r_ref, g_ref, b_ref,
                *maybe_rec):
         rec_ref = maybe_rec[0] if emit_records else None
@@ -265,7 +340,7 @@ def _build_kernel(
             (sph_ref[s, 0], sph_ref[s, 1], sph_ref[s, 2], sph_ref[s, 3],
              sph_ref[s, 4])
             for s in range(S)
-        ]
+        ] if sph_on else []
         # material columns: ambient(5:8) diffuse(8:11) specular(11:14)
         # power(14). Specular/power are gathered only when a light loop
         # will consume them, and the hit center (-> normal) only when the
@@ -283,6 +358,23 @@ def _build_kernel(
             for s in range(S)
         ]
         shade_rows = [row[:n_sc] for row in full_rows]
+
+        # Triangle tables (tri_tab layout: v0 0:3, e1 3:6, e2 6:9, mask 9,
+        # unit normal 10:13, ambient 13:16, diffuse 16:19, specular 19:22,
+        # power 22).
+        tris_geo = [
+            tuple(tri_ref[t, c] for c in range(10)) for t in range(T)
+        ] if tri_on else []
+        tri_norm_rows = [
+            [tri_ref[t, 10], tri_ref[t, 11], tri_ref[t, 12]]
+            for t in range(T)
+        ]
+        tri_shade_cols = list(range(13, 19)) + (
+            list(range(19, 23)) if lights_on else []
+        )
+        tri_mat_rows = [
+            [tri_ref[t, c] for c in tri_shade_cols] for t in range(T)
+        ]
 
         def unpack(m):
             amb, dif = m[0:3], m[3:6]
@@ -333,11 +425,13 @@ def _build_kernel(
                 if use_shadows:
                     sdx, sdy, sdz, _ = _normalize3(lvx, lvy, lvz)
                     occ = _occluded(sh_o, (sdx, sdy, sdz), sph, t_clip,
-                                    d_l if shadow_bound else None)
+                                    d_l if shadow_bound else None,
+                                    tris=tris_geo if shadow_tris else (),
+                                    ref_test=ref_test)
                     unsh = (~occ).astype(jnp.int32)
                     gate = lm * unsh.astype(jnp.float32)
                     if emit_records:
-                        b_l = unsh << (9 + li)
+                        b_l = unsh << (10 + li)
                         bits = b_l if bits is None else bits | b_l
                 else:
                     gate = lm * jnp.ones_like(d_l)
@@ -361,11 +455,13 @@ def _build_kernel(
                 ldy = jnp.broadcast_to(ldy0, x[0].shape)
                 ldz = jnp.broadcast_to(ldz0, x[0].shape)
                 if use_shadows:
-                    occ = _occluded(sh_o, (ldx, ldy, ldz), sph, t_clip, None)
+                    occ = _occluded(sh_o, (ldx, ldy, ldz), sph, t_clip, None,
+                                    tris=tris_geo if shadow_tris else (),
+                                    ref_test=ref_test)
                     unsh = (~occ).astype(jnp.int32)
                     gate = lm * unsh.astype(jnp.float32)
                     if emit_records:
-                        b_l = unsh << (9 + L + li)
+                        b_l = unsh << (10 + L + li)
                         bits = b_l if bits is None else bits | b_l
                 else:
                     gate = lm * jnp.ones_like(x[0])
@@ -384,20 +480,71 @@ def _build_kernel(
                 db += (dif[2] * cb * ndotl + spec[2] * cb * spow) * gate
             return dr, dg, db, bits
 
-        def pack_rec(idx, hit, bits):
+        def pack_rec(idx, hit, tri_wins, bits):
             rec = idx | (hit.astype(jnp.int32) << 8)
+            if tri_wins is not None:
+                rec = rec | (tri_wins.astype(jnp.int32) << 9)
             if bits is not None:
                 rec = rec | bits
             return rec
 
-        def hit_geom(o, d, t, hit, centers):
-            """(point, normal) from the scan result + gathered center."""
-            tsafe = jnp.where(hit, t, 0.0)
+        def nearest(o3, d3):
+            """Combined nearest hit (geometry.intersect semantics: sphere
+            scan, triangle scan, triangle wins on strictly smaller t).
+            Returns (hit_any, tri_wins|None, t, idx, shadesf, missf)."""
+            if sph:
+                s_hit, s_t, s_idx, _ = _scan_spheres(o3, d3, sph, t_clip)
+            else:
+                s_hit = jnp.zeros(d3[0].shape, bool)
+                s_t = jnp.full(d3[0].shape, _BIG, jnp.float32)
+                s_idx = jnp.zeros(d3[0].shape, jnp.int32)
+            if tri_on:
+                t_hit, t_t, t_idx = _scan_tris(o3, d3, tris_geo, ref_test)
+                tri_wins = t_hit & (t_t < jnp.where(s_hit, s_t, _BIG))
+                hit_any = s_hit | tri_wins
+                t_sel = jnp.where(tri_wins, t_t, s_t)
+                idx = jnp.where(tri_wins, t_idx, s_idx)
+                # parity shades only spheres (triangles black,
+                # src/raytrace.h:221-224); clean shades both kinds
+                shades = (s_hit & ~tri_wins) if tri_black else hit_any
+            else:
+                tri_wins = None
+                hit_any, t_sel, idx, shades = s_hit, s_t, s_idx, s_hit
+            return (hit_any, tri_wins, t_sel, idx,
+                    shades.astype(jnp.float32),
+                    1.0 - hit_any.astype(jnp.float32))
+
+        def gather_mat(idx, tri_wins, need_geo):
+            """Material (+ sphere center when need_geo) at the winning
+            primitive — mirrors shading.gather_material: parity reads the
+            sphere table unconditionally at the combined index; clean
+            sums kind-gated sphere and triangle selections."""
+            rows = full_rows if need_geo else shade_rows
+            if not tri_on or tri_black:
+                m = _gather(idx, rows)
+            else:
+                m = _gather(idx, rows, valid=~tri_wins)
+                mt = _gather(idx, tri_mat_rows, valid=tri_wins)
+                m = [a + b for a, b in zip(m[:n_sc], mt)] + m[n_sc:]
+            return m
+
+        def hit_geom(o, d, t, hit_any, tri_wins, idx, centers):
+            """(point, normal): sphere normal from the gathered center;
+            triangle geometric normal (precomputed unit, flipped toward
+            the ray) where the triangle won."""
+            tsafe = jnp.where(hit_any, t, 0.0)
             px = o[0] + d[0] * tsafe
             py = o[1] + d[1] * tsafe
             pz = o[2] + d[2] * tsafe
             nx, ny, nz, _ = _normalize3(px - centers[0], py - centers[1],
                                         pz - centers[2])
+            if tri_on:
+                tn = _gather(idx, tri_norm_rows, valid=tri_wins)
+                flip = jnp.where(
+                    tn[0] * d[0] + tn[1] * d[1] + tn[2] * d[2] > 0, -1.0, 1.0)
+                nx = jnp.where(tri_wins, tn[0] * flip, nx)
+                ny = jnp.where(tri_wins, tn[1] * flip, ny)
+                nz = jnp.where(tri_wins, tn[2] * flip, nz)
             return (px, py, pz), (nx, ny, nz)
 
         # ---- camera rays (ops/camera.py::rays_for_ids) -----------------
@@ -420,29 +567,28 @@ def _build_kernel(
         if not quirks.unnormalized_ray_dirs:
             dx, dy, dz, _ = _normalize3(dx, dy, dz)
 
-        hit0, t0, idx0, _ = _scan_spheres(cam, (dx, dy, dz), sph, t_clip)
-        m0 = _gather(idx0, full_rows)
+        hit0, triw0, t0, idx0, shades0f, miss0f = nearest(cam, (dx, dy, dz))
+        m0 = gather_mat(idx0, triw0, True)
         amb0, dif0, spec0, pow0 = unpack(m0)
         cen0 = m0[n_sc:n_sc + 3]
-        x0, n0 = hit_geom(cam, (dx, dy, dz), t0, hit0, cen0)
+        x0, n0 = hit_geom(cam, (dx, dy, dz), t0, hit0, triw0, idx0, cen0)
         d0r, d0g, d0b, bits0 = shade(x0, n0, amb0, dif0, spec0, pow0)
         if emit_records:
-            rec_ref[0, ...] = pack_rec(idx0, hit0, bits0)
+            rec_ref[0, ...] = pack_rec(idx0, hit0, triw0, bits0)
 
-        hit0f = hit0.astype(jnp.float32)
-        miss0f = 1.0 - hit0f
         if not mc:
-            # Plain Blinn-Phong (src/raytrace.h:205-218): direct for hits,
-            # background for misses.
-            r_ref[...] = hit0f * d0r + miss0f * bg[0]
-            g_ref[...] = hit0f * d0g + miss0f * bg[1]
-            b_ref[...] = hit0f * d0b + miss0f * bg[2]
+            # Plain Blinn-Phong (src/raytrace.h:205-218): direct for
+            # shaded hits, black for parity triangles, background for
+            # misses.
+            r_ref[...] = shades0f * d0r + miss0f * bg[0]
+            g_ref[...] = shades0f * d0g + miss0f * bg[1]
+            b_ref[...] = shades0f * d0b + miss0f * bg[2]
             return
 
         # MC combine (src/raytrace.h:213): l0 = direct/pi * diffuse.
-        l0r = hit0f * (d0r / _PI * dif0[0]) + miss0f * bg[0]
-        l0g = hit0f * (d0g / _PI * dif0[1]) + miss0f * bg[1]
-        l0b = hit0f * (d0b / _PI * dif0[2]) + miss0f * bg[2]
+        l0r = shades0f * (d0r / _PI * dif0[0]) + miss0f * bg[0]
+        l0g = shades0f * (d0g / _PI * dif0[1]) + miss0f * bg[1]
+        l0b = shades0f * (d0b / _PI * dif0[2]) + miss0f * bg[2]
 
         if D <= 1:
             r_ref[...] = l0r
@@ -454,8 +600,8 @@ def _build_kernel(
         # Hoisted per-sample state shared by all P paths: the primary
         # hit's tangent frame and throughput base 2*pi*diffuse*shades.
         pn0, pb0 = _tangent_frame(*n0)
-        base = (_TWO_PI * dif0[0] * hit0f, _TWO_PI * dif0[1] * hit0f,
-                _TWO_PI * dif0[2] * hit0f)
+        base = (_TWO_PI * dif0[0] * shades0f, _TWO_PI * dif0[1] * shades0f,
+                _TWO_PI * dif0[2] * shades0f)
 
         def sample_dir(r1, r2, n, pn, pb):
             """uniform_sample_hemi + to_world (ops/sampling.py)."""
@@ -493,7 +639,7 @@ def _build_kernel(
             # state from the previous bounce's hit
             xb, nb, pnb, pbb = x0, n0, pn0, pb0
             Tb = None  # throughput; None until the first factor lands
-            difb, hitbf = dif0, hit0f
+            difb, shadesbf = dif0, shades0f
             for b in range(1, D):
                 r1 = _draw(seed, b - 1, PURPOSE_PATH, idp, 0)
                 r2 = _draw(seed, b - 1, PURPOSE_PATH, idp, 1)
@@ -503,18 +649,16 @@ def _build_kernel(
                     Tb = (base[0] * r1, base[1] * r1, base[2] * r1)
                 else:
                     f = _TWO_PI * r1
-                    Tb = (Tb[0] * (f * difb[0]) * hitbf,
-                          Tb[1] * (f * difb[1]) * hitbf,
-                          Tb[2] * (f * difb[2]) * hitbf)
-                hitb, tb, idxb, _ = _scan_spheres(ob3, db3, sph, t_clip)
+                    Tb = (Tb[0] * (f * difb[0]) * shadesbf,
+                          Tb[1] * (f * difb[1]) * shadesbf,
+                          Tb[2] * (f * difb[2]) * shadesbf)
+                hitb, triwb, tb, idxb, shadesbf, missbf = nearest(ob3, db3)
                 last = b == D - 1
                 need_geo = need_geo_final or not last
-                mb = _gather(idxb, full_rows if need_geo else shade_rows)
+                mb = gather_mat(idxb, triwb, need_geo)
                 ambb, difb, specb, powb = unpack(mb)
-                hitbf = hitb.astype(jnp.float32)
-                missbf = 1.0 - hitbf
                 if need_geo:
-                    xb, nb = hit_geom(ob3, db3, tb, hitb,
+                    xb, nb = hit_geom(ob3, db3, tb, hitb, triwb, idxb,
                                       mb[n_sc:n_sc + 3])
                 if need_geo_final:
                     dbr, dbg, dbb, bitsb = shade(xb, nb, ambb, difb, specb,
@@ -526,10 +670,13 @@ def _build_kernel(
                     bitsb = None
                 if emit_records:
                     rec_ref[1 + p * (D - 1) + (b - 1), ...] = pack_rec(
-                        idxb, hitb, bitsb)
-                ar += Tb[0] * (hitbf * (dbr / _PI * difb[0]) + missbf * bg[0])
-                ag += Tb[1] * (hitbf * (dbg / _PI * difb[1]) + missbf * bg[1])
-                ab += Tb[2] * (hitbf * (dbb / _PI * difb[2]) + missbf * bg[2])
+                        idxb, hitb, triwb, bitsb)
+                ar += Tb[0] * (shadesbf * (dbr / _PI * difb[0])
+                               + missbf * bg[0])
+                ag += Tb[1] * (shadesbf * (dbg / _PI * difb[1])
+                               + missbf * bg[1])
+                ab += Tb[2] * (shadesbf * (dbb / _PI * difb[2])
+                               + missbf * bg[2])
                 if not last:
                     pnb, pbb = _tangent_frame(*nb)
             return ar, ag, ab
@@ -601,6 +748,25 @@ def _pathtrace_call(scene, cfg: RenderConfig, seed, sample_ids,
         ],
         axis=1,
     )
+    # Triangle table (decorative triangles only — use_pathtrace caps at
+    # MAX_TRIS; mesh scenes go through the culled kernels). Edges and the
+    # unit geometric normal are precomputed; the kernel flips the normal
+    # toward each ray.
+    tri_on = scene.has_triangles
+    if tri_on:
+        tr = scene.triangles
+        e1 = tr.v1 - tr.v0
+        e2 = tr.v2 - tr.v0
+        ntri = normalize(jnp.cross(e1, e2))
+        tri_tab = jnp.concatenate(
+            [tr.v0, e1, e2, tr.mask[:, None], ntri, tr.ambient, tr.diffuse,
+             tr.specular, tr.power[:, None],
+             jnp.zeros((tr.mask.shape[0], 1), jnp.float32)],
+            axis=1,
+        )  # [T, 24]
+    else:
+        tri_tab = jnp.zeros((1, 24), jnp.float32)
+
     right = jnp.cross(-cam_t.direction, cam_t.up)
     misc = jnp.concatenate(
         [cam_t.position, right, cam_t.up, cam_t.direction, scene.ambient,
@@ -631,7 +797,9 @@ def _pathtrace_call(scene, cfg: RenderConfig, seed, sample_ids,
     angle = float(np.float32(np.tan(np.pi * 0.5 * cfg.fov / 180.0)))
 
     kernel = _build_kernel(
-        S=S, L=L, LD=LD, point_on=point_on, dir_on=dir_on,
+        S=S, T=tri_tab.shape[0], L=L, LD=LD,
+        sph_on=scene.has_spheres, tri_on=tri_on,
+        point_on=point_on, dir_on=dir_on,
         use_shadows=cfg.use_shadows, mc=cfg.monte_carlo,
         P=cfg.paths_per_sample, D=cfg.max_depth, grid=cfg.grid_size,
         width=cfg.width, height=cfg.height, angle=angle,
@@ -652,12 +820,12 @@ def _pathtrace_call(scene, cfg: RenderConfig, seed, sample_ids,
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[smem, smem, smem, smem, smem,
+        in_specs=[smem, smem, smem, smem, smem, smem,
                   ray_spec, ray_spec, ray_spec, ray_spec, ray_spec],
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shapes),
         interpret=_interpret(),
-    )(sph_tab, misc, pl_tab, dl_tab, seed_arr,
+    )(sph_tab, tri_tab, misc, pl_tab, dl_tab, seed_arr,
       plane(ids), plane(xs), plane(ys), plane(cj), plane(ci))
     r, g, b = out[0], out[1], out[2]
     radiance = jnp.stack(
@@ -695,8 +863,10 @@ def _replay_radiance(scene, cfg: RenderConfig, seed, sample_ids, rec):
         normalize,
         offset_origin,
         one_hot_rows,
+        replay_triangle_t,
     )
-    from skele_raytracer_tpu.ops.shading import _pack_material, _unpack_material
+    from skele_raytracer_tpu.ops.pallas.megakernel import hit_geometry
+    from skele_raytracer_tpu.ops.shading import gather_material
 
     q = cfg.quirks
     S = scene.spheres.mask.shape[0]
@@ -704,25 +874,36 @@ def _replay_radiance(scene, cfg: RenderConfig, seed, sample_ids, rec):
         scene.has_fog and scene.fog_zeroed
     )
     dir_on = scene.has_directional
-    packed = _pack_material(scene.spheres)
     Lp = scene.point_lights.mask.shape[0]
 
     def unpack_rec(r):
-        return r & 0xFF, ((r >> 8) & 1).astype(bool)
+        idx = r & 0xFF
+        hit = ((r >> 8) & 1).astype(bool)
+        tri = ((r >> 9) & 1).astype(bool)
+        kind = jnp.where(tri, 2, jnp.where(hit, 1, 0)).astype(jnp.int32)
+        return idx, kind
 
-    def replay_hit(o, d, idx, hit):
-        oh = one_hot_rows(idx, S)
+    def replay_hit(o, d, idx, kind):
+        """(point, normal, material) from the saved discrete structure:
+        selected-sphere quadratic / selected-triangle MT t (O(rays)),
+        then the shared hit_geometry / gather_material replays."""
+        oh = one_hot_rows(jnp.where(kind == 1, idx, 0), S)
         cen = oh @ scene.spheres.center
         rad = (oh @ scene.spheres.radius[:, None])[:, 0]
         ec = o - cen
         a = dot(d, d)
         b = 2.0 * dot(d, ec)
         c = dot(ec, ec) - rad ** 2
-        t = (-b - _pos_sqrt(b * b - 4.0 * a * c)) / (2.0 * a)
-        tsafe = jnp.where(hit, t, 0.0)
-        x = o + d * tsafe[:, None]
-        n = normalize(x - cen)
-        return x, n, _unpack_material(oh @ packed)
+        t_sph = (-b - _pos_sqrt(b * b - 4.0 * a * c)) / (2.0 * a)
+        if scene.has_triangles:
+            t_tri = replay_triangle_t(
+                o, d, scene.triangles, jnp.where(kind == 2, idx, 0))
+            t = jnp.where(kind == 2, t_tri,
+                          jnp.where(kind == 1, t_sph, 0.0))
+        else:
+            t = jnp.where(kind == 1, t_sph, 0.0)
+        x, n = hit_geometry(o, d, scene, kind, idx, t)
+        return x, n, gather_material(scene, kind, idx, quirks=q)
 
     def gates_from_bits(r, base_bit, count):
         if not cfg.use_shadows:
@@ -737,7 +918,7 @@ def _replay_radiance(scene, cfg: RenderConfig, seed, sample_ids, rec):
         view = normalize(scene.camera.position[None, :] - x)
         if point_on:
             pl_ = scene.point_lights
-            gate = gates_from_bits(r, 9, Lp) * pl_.mask[None, :]
+            gate = gates_from_bits(r, 10, Lp) * pl_.mask[None, :]
             l_vec = pl_.position[None, :, :] - x[:, None, :]
             d_l = norm(l_vec)
             l = l_vec / jnp.maximum(d_l, 1e-30)[:, :, None]
@@ -757,7 +938,7 @@ def _replay_radiance(scene, cfg: RenderConfig, seed, sample_ids, rec):
         if dir_on:
             dl_ = scene.directional_lights
             Ld = dl_.mask.shape[0]
-            gate = gates_from_bits(r, 9 + Lp, Ld) * dl_.mask[None, :]
+            gate = gates_from_bits(r, 10 + Lp, Ld) * dl_.mask[None, :]
             ld = normalize(dl_.direction)[None, :, :]
             ld = jnp.broadcast_to(ld, (x.shape[0],) + ld.shape[1:])
             ndotl = jnp.maximum(0.0, dot(n[:, None, :], ld))
@@ -774,24 +955,30 @@ def _replay_radiance(scene, cfg: RenderConfig, seed, sample_ids, rec):
                 (diffuse_d + specular_d) * gate[:, :, None], axis=1)
         return total
 
+    def shades_miss(kind):
+        """(shades, miss) column masks — parity triangles shade black
+        (src/raytrace.h:221-224), clean shades both kinds."""
+        sh = (kind == 1) if q.triangles_shade_black else (kind > 0)
+        return sh[:, None], (kind == 0)[:, None]
+
     o, d = rays_for_ids(scene.camera, cfg, seed, sample_ids)
-    idx0, hit0 = unpack_rec(rec[0])
-    x0, n0, mat0 = replay_hit(o, d, idx0, hit0)
+    idx0, kind0 = unpack_rec(rec[0])
+    x0, n0, mat0 = replay_hit(o, d, idx0, kind0)
     direct0 = shade_replay(x0, n0, mat0, rec[0])
     bg = jnp.broadcast_to(scene.background[None, :], direct0.shape)
-    hit0c = hit0[:, None]
+    sh0, miss0 = shades_miss(kind0)
     if not cfg.monte_carlo:
-        return jnp.where(hit0c, direct0, bg)
-    l0 = jnp.where(hit0c, direct0 / jnp.pi * mat0.diffuse, bg)
+        return jnp.where(miss0, bg, jnp.where(sh0, direct0, 0.0))
+    l0 = jnp.where(miss0, bg,
+                   jnp.where(sh0, direct0 / jnp.pi * mat0.diffuse, 0.0))
     D, P = cfg.max_depth, cfg.paths_per_sample
     if D <= 1:
         return l0
 
     acc = jnp.zeros_like(l0)
-    hit0f = hit0.astype(jnp.float32)
     for p in range(P):
         pid = sample_ids.astype(jnp.uint32) * jnp.uint32(P) + jnp.uint32(p)
-        xb, nb, difb, hitbf = x0, n0, mat0.diffuse, hit0f
+        xb, nb, difb, shb = x0, n0, mat0.diffuse, sh0.astype(jnp.float32)
         T = None
         for b in range(1, D):
             rdraw = sampling.uniform(seed, pid, b - 1, sampling.PURPOSE_PATH,
@@ -806,14 +993,16 @@ def _replay_radiance(scene, cfg: RenderConfig, seed, sample_ids, rec):
             else:
                 o_new = offset_origin(xb, nb)
             f = 2.0 * jnp.pi * r1[:, None] * difb
-            T = f * hitbf[:, None] if T is None else T * f * hitbf[:, None]
+            T = f * shb if T is None else T * f * shb
             rk = rec[1 + p * (D - 1) + (b - 1)]
-            idxb, hitb = unpack_rec(rk)
-            xb, nb, matb = replay_hit(o_new, d_new, idxb, hitb)
+            idxb, kindb = unpack_rec(rk)
+            xb, nb, matb = replay_hit(o_new, d_new, idxb, kindb)
             directb = shade_replay(xb, nb, matb, rk)
+            shb_c, missb = shades_miss(kindb)
             acc = acc + T * jnp.where(
-                hitb[:, None], directb / jnp.pi * matb.diffuse, bg)
-            difb, hitbf = matb.diffuse, hitb.astype(jnp.float32)
+                missb, bg,
+                jnp.where(shb_c, directb / jnp.pi * matb.diffuse, 0.0))
+            difb, shb = matb.diffuse, shb_c.astype(jnp.float32)
     return l0 + acc / P
 
 
@@ -848,7 +1037,7 @@ def _can_replay(scene, cfg: RenderConfig) -> bool:
     return (
         cfg.paths_per_sample <= _UNROLL_PATHS
         and scene.spheres.mask.shape[0] <= 256
-        and (not cfg.use_shadows or 9 + L + LD <= 32)
+        and (not cfg.use_shadows or 10 + L + LD <= 32)
     )
 
 

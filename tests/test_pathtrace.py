@@ -94,6 +94,41 @@ class TestEquivalence:
             width=24, height=16, monte_carlo=True, num_paths=2, max_depth=2,
             backend="pallas"))
 
+    def test_triangles_parity_black(self, parsed_test_scene):
+        """TEST_SCN carries 2 decorative triangles: parity shades them
+        black (src/raytrace.h:221-224) and they never occlude shadows."""
+        _compare(parsed_test_scene, RenderConfig(
+            monte_carlo=True, num_paths=4, max_depth=2, **CFG))
+
+    def test_triangles_clean_shading(self, parsed_test_scene):
+        """Clean mode shades triangles (geometric normal flipped toward
+        the ray) and lets them occlude shadow rays in-kernel."""
+        _compare(parsed_test_scene, RenderConfig(
+            monte_carlo=True, num_paths=4, max_depth=2, quirks=CLEAN, **CFG))
+
+    def test_triangles_clean_nonmc(self, parsed_test_scene):
+        _compare(parsed_test_scene, RenderConfig(
+            monte_carlo=True, num_paths=2, max_depth=3, quirks=CLEAN, **CFG))
+
+    def test_triangle_grads(self, parsed_test_scene):
+        """Replay backward through triangle hits (replay_triangle_t +
+        triangle-table material gather) matches the jnp gradients."""
+        cfg = RenderConfig(width=12, height=8, monte_carlo=True, num_paths=2,
+                           max_depth=2, use_shadows=True, backend="pallas",
+                           quirks=CLEAN)
+        scene = parsed_test_scene.to_scene(CLEAN)
+        ids = jnp.arange(12 * 8, dtype=jnp.uint32)
+
+        def loss(s, c):
+            return jnp.sum(render_ids_chunked(s, c, jnp.uint32(3), ids) ** 2)
+
+        g_pallas = jax.grad(loss)(scene, cfg)
+        g_jnp = jax.grad(loss)(scene, cfg.replace(backend="jnp"))
+        for a, b in zip(jax.tree_util.tree_leaves(g_pallas),
+                        jax.tree_util.tree_leaves(g_jnp)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-5)
+
     def test_spheres2_parity_fog_zeroed(self):
         # The headline scene: parity zeroes the fog (quirk
         # fog_sscanf_mismatch), which statically folds away the whole
@@ -110,15 +145,20 @@ class TestEquivalence:
 
 class TestDispatch:
     def test_gates(self, parsed_spheres, parsed_test_scene):
+        from tests.conftest import make_mesh_scene
+
         cfg = RenderConfig(monte_carlo=True, num_paths=2, max_depth=2,
                            backend="pallas")
         sph = parsed_spheres.to_scene(cfg.quirks)
         assert pathtrace.use_pathtrace(sph, cfg)
         # jnp backend opts out
         assert not pathtrace.use_pathtrace(sph, cfg.replace(backend="jnp"))
-        # triangle scenes route through the culled kernels instead
+        # a few decorative triangles are served in-kernel...
         tri = parsed_test_scene.to_scene(cfg.quirks)
-        assert not pathtrace.use_pathtrace(tri, cfg)
+        assert pathtrace.use_pathtrace(tri, cfg)
+        # ...but mesh-scale scenes route through the culled kernels
+        mesh = make_mesh_scene(t=700)
+        assert not pathtrace.use_pathtrace(mesh, cfg)
         # the clean Whitted frontier (non-MC, reflections on) is not served
         clean_whitted = RenderConfig(backend="pallas", quirks=CLEAN)
         sph_c = parsed_spheres.to_scene(CLEAN)
