@@ -44,6 +44,16 @@ TILE_R = 256  # rays per tile: smaller tiles shrink the tile-union cluster
 MAX_TILES = 512  # tiles per pallas_call: bounds the kernel's SMEM tables
 
 
+GROUP_C = 4  # resident mode: shortlisted clusters per loop iteration.
+# Incoherent (bounce/shadow) tiles carry wide shortlists whose cost is
+# dominated by the serialized fori_loop iteration overhead (slab test +
+# predicate + small matmul per cluster), not FLOPs. Batching G clusters
+# per iteration quarters the iteration count and widens the MT matmul to
+# [TILE_R, 9] x [9, 4*G*cs]. Correctness never depends on the per-cluster
+# pretest (a triangle outside every entered AABB cannot pass the exact MT
+# test), so whole groups are gated on ANY ray entering ANY member.
+
+
 def _batched_launch(launch, order, counts, ent, feats):
     """Run a tile-grid kernel launch in <= MAX_TILES batches (lax.map).
 
@@ -145,6 +155,8 @@ def _culled_kernel(
         rt1 = (root_hi - o) * inv_d
         texit = jnp.min(jnp.maximum(rt0, rt1), axis=1)  # [R]
 
+    C_total = lo_ref.shape[0]
+
     def body(p, _):
         # `resident` (static): cluster blocks live wholly in VMEM — read
         # directly by dynamic leading-axis index, zero DMA (megakernel.py
@@ -163,20 +175,7 @@ def _culled_kernel(
             _culled_step(p)
         return 0
 
-    def _culled_step(p):
-        ci = shortlist_ref[i, p]
-        if not resident:
-            slot = jax.lax.rem(p, 2)
-            nxt = jax.lax.rem(p + 1, 2)
-
-            @pl.when(p + 1 < n_active)
-            def _():
-                for c in dma(nxt, p + 1):
-                    c.start()
-
-            for c in dma(slot, p):
-                c.wait()
-
+    def _slab_pend(ci):
         # Slab pretest vs the running nearest t (shortlists arrive
         # front-to-back from the host): the cluster's entry distance is a
         # lower bound on any t inside it — negative entries included, so
@@ -190,74 +189,115 @@ def _culled_kernel(
         enter = tmin <= tmax
         if not allow_negative:
             enter = enter & (tmax > (t_clip or 0.0))
-        pend = enter & (tmin <= t_ref[:, 0])
+        return enter & (tmin <= t_ref[:, 0])
 
-        @pl.when(jnp.any(pend))
-        def _():
-            if resident:
-                K = kc_ref[ci].reshape(9, 4 * cs)
-                kof_blk = aux_ref[ci, 0, :]
-                msk_blk = aux_ref[ci, 1, :]
-                orig_row = aux_ref[ci, 2, :]
-            else:
-                slot_ = jax.lax.rem(p, 2)
-                K = kbuf[slot_].reshape(9, 4 * cs)
-                kof_blk = abuf[slot_, 0, :]
-                msk_blk = abuf[slot_, 1, :]
-                orig_row = abuf[slot_, 2, :]
+    def _mt_update(K, kof_blk, msk_blk, orig_row, width):
+        """One Moller-Trumbore matmul over `width` packed triangle columns
+        + nearest-t / tie-break update. K: [9, 4*width]."""
+        prods = jax.lax.dot_general(
+            feats, K, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(-1, 4, width)
+        det = prods[:, 0, :]
+        u_num = sign * prods[:, 1, :]
+        v_num = prods[:, 2, :]
+        t_num = prods[:, 3, :] - kof_blk[None, :]
 
-            prods = jax.lax.dot_general(
-                feats, K, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            ).reshape(-1, 4, cs)
-            det = prods[:, 0, :]
-            u_num = sign * prods[:, 1, :]
-            v_num = prods[:, 2, :]
-            t_num = prods[:, 3, :] - kof_blk[None, :]
+        ok = jnp.abs(det) >= TRIANGLE_DET_EPS
+        inv = jnp.where(ok, 1.0, 0.0) / jnp.where(ok, det, 1.0)
+        u = u_num * inv
+        v = v_num * inv
+        t = t_num * inv
+        valid = (
+            ok & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1)
+            & (msk_blk[None, :] > 0)
+        )
+        if t_clip is not None:
+            valid = valid & (t > t_clip)
+        t_all = jnp.where(valid, t, _BIG)
 
-            ok = jnp.abs(det) >= TRIANGLE_DET_EPS
-            inv = jnp.where(ok, 1.0, 0.0) / jnp.where(ok, det, 1.0)
-            u = u_num * inv
-            v = v_num * inv
-            t = t_num * inv
-            valid = (
-                ok & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1)
-                & (msk_blk[None, :] > 0)
-            )
-            if t_clip is not None:
-                valid = valid & (t > t_clip)
-            t_all = jnp.where(valid, t, _BIG)
+        # Exact-t ties resolve to the MINIMUM ORIGINAL index — the
+        # reference's strict-< scan keeps the first triangle in file
+        # order (src/raytrace.h:176-186), which Morton reordering would
+        # otherwise permute. aux row 2 carries each sorted row's
+        # original index.
+        t_blk = jnp.min(t_all, axis=1)
+        is_min = t_all == t_blk[:, None]
+        orig_f = orig_row[None, :]  # [1, width] original indices (f32)
+        orig_blk = jnp.min(
+            jnp.where(is_min, orig_f, jnp.float32(_BIG_I)), axis=1
+        ).astype(jnp.int32)
+        better = (t_blk < t_ref[:, 0]) | (
+            (t_blk == t_ref[:, 0]) & (orig_blk < idx_ref[:, 0])
+        )
+        t_ref[:, 0] = jnp.where(better, t_blk, t_ref[:, 0])
+        idx_ref[:, 0] = jnp.where(better, orig_blk, idx_ref[:, 0])
 
-            # Exact-t ties resolve to the MINIMUM ORIGINAL index — the
-            # reference's strict-< scan keeps the first triangle in file
-            # order (src/raytrace.h:176-186), which Morton reordering would
-            # otherwise permute. aux row 2 carries each sorted row's
-            # original index.
-            t_blk = jnp.min(t_all, axis=1)
-            is_min = t_all == t_blk[:, None]
-            orig_f = orig_row[None, :]  # [1, cs] original indices (f32)
-            orig_blk = jnp.min(
-                jnp.where(is_min, orig_f, jnp.float32(_BIG_I)), axis=1
-            ).astype(jnp.int32)
-            better = (t_blk < t_ref[:, 0]) | (
-                (t_blk == t_ref[:, 0]) & (orig_blk < idx_ref[:, 0])
-            )
-            t_ref[:, 0] = jnp.where(better, t_blk, t_ref[:, 0])
-            idx_ref[:, 0] = jnp.where(better, orig_blk, idx_ref[:, 0])
+    def _culled_step(p):
+        if not resident:
+            ci = shortlist_ref[i, p]
+            slot = jax.lax.rem(p, 2)
+            nxt = jax.lax.rem(p + 1, 2)
 
-        if resident:
-            # ent_ref is padded with _BIG past the shortlist, so p+1 is
-            # always in bounds.
-            settle = jnp.max(jnp.minimum(t_ref[:, 0], texit))
-
-            @pl.when(ent_ref[i, p + 1] > settle)
+            @pl.when(p + 1 < n_active)
             def _():
-                done_ref[0, 0] = 1
+                for c in dma(nxt, p + 1):
+                    c.start()
+
+            for c in dma(slot, p):
+                c.wait()
+
+            pend = _slab_pend(ci)
+
+            @pl.when(jnp.any(pend))
+            def _():
+                slot_ = jax.lax.rem(p, 2)
+                _mt_update(
+                    kbuf[slot_].reshape(9, 4 * cs),
+                    abuf[slot_, 0, :], abuf[slot_, 1, :], abuf[slot_, 2, :],
+                    cs,
+                )
+            return 0
+
+        # Resident: one iteration covers GROUP_C shortlist positions.
+        # Positions past n_active hold the argsort tail (clusters no ray
+        # enters — their pretests fail and their triangles cannot pass MT),
+        # and the final clamp duplicates the last cluster, which only
+        # re-derives identical hits; both are harmless.
+        base = p * GROUP_C
+        cis = [
+            shortlist_ref[i, jnp.minimum(base + g, C_total - 1)]
+            for g in range(GROUP_C)
+        ]
+        pend_any = _slab_pend(cis[0])
+        for ci in cis[1:]:
+            pend_any = pend_any | _slab_pend(ci)
+
+        @pl.when(jnp.any(pend_any))
+        def _():
+            K = jnp.concatenate(
+                [kc_ref[ci] for ci in cis], axis=2
+            ).reshape(9, 4 * GROUP_C * cs)
+            aux_g = jnp.concatenate([aux_ref[ci] for ci in cis], axis=1)
+            _mt_update(K, aux_g[0, :], aux_g[1, :], aux_g[2, :], GROUP_C * cs)
+
+        # ent_ref is padded with _BIG past the shortlist; clamp the next
+        # group's start into the [0, C] table.
+        settle = jnp.max(jnp.minimum(t_ref[:, 0], texit))
+        nxt_pos = jnp.minimum(base + GROUP_C, ent_ref.shape[1] - 1)
+
+        @pl.when(ent_ref[i, nxt_pos] > settle)
+        def _():
+            done_ref[0, 0] = 1
 
         return 0
 
-    jax.lax.fori_loop(0, n_active, body, 0)
+    if resident:
+        n_iters = (n_active + GROUP_C - 1) // GROUP_C
+    else:
+        n_iters = n_active
+    jax.lax.fori_loop(0, n_iters, body, 0)
 
 
 def _spatial_sort_keys(o, d, lo, hi):
@@ -536,6 +576,8 @@ def _occluded_kernel(
             jnp.min(jnp.maximum(rt0, rt1), axis=1), bnd
         )  # [R]
 
+    C_total = lo_ref.shape[0]
+
     def body(p, _):
         if resident:
 
@@ -546,8 +588,42 @@ def _occluded_kernel(
             _occ_step(p)
         return 0
 
+    def _slab_pend(ci):
+        lo = lo_ref[pl.ds(ci, 1), :]
+        hi = hi_ref[pl.ds(ci, 1), :]
+        t0 = (lo - o) * inv_d
+        t1 = (hi - o) * inv_d
+        tmin = jnp.max(jnp.minimum(t0, t1), axis=1)
+        tmax = jnp.min(jnp.maximum(t0, t1), axis=1)
+        enter = (tmin <= tmax) & (tmax > t_clip) & (tmin < bnd)
+        return enter & (occ_ref[:, 0] < 0.5)
+
+    def _occ_update(K, kof_blk, msk_blk, width):
+        prods = jax.lax.dot_general(
+            feats, K, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(-1, 4, width)
+        det = prods[:, 0, :]
+        u_num = sign * prods[:, 1, :]
+        v_num = prods[:, 2, :]
+        t_num = prods[:, 3, :] - kof_blk[None, :]
+
+        ok = jnp.abs(det) >= TRIANGLE_DET_EPS
+        inv = jnp.where(ok, 1.0, 0.0) / jnp.where(ok, det, 1.0)
+        u = u_num * inv
+        v = v_num * inv
+        t = t_num * inv
+        valid = (
+            ok & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1)
+            & (msk_blk[None, :] > 0)
+            & (t > t_clip) & (t < bnd[:, None])
+        )
+        occ_ref[:, 0] = jnp.maximum(
+            occ_ref[:, 0], jnp.any(valid, axis=1).astype(jnp.float32)
+        )
+
     def _occ_step(p):
-        ci = shortlist_ref[i, p]
         if not resident:
             slot = jax.lax.rem(p, 2)
             nxt = jax.lax.rem(p + 1, 2)
@@ -560,66 +636,55 @@ def _occluded_kernel(
             for c in dma(slot, p):
                 c.wait()
 
-        lo = lo_ref[pl.ds(ci, 1), :]
-        hi = hi_ref[pl.ds(ci, 1), :]
-        t0 = (lo - o) * inv_d
-        t1 = (hi - o) * inv_d
-        tmin = jnp.max(jnp.minimum(t0, t1), axis=1)
-        tmax = jnp.min(jnp.maximum(t0, t1), axis=1)
-        enter = (tmin <= tmax) & (tmax > t_clip) & (tmin < bnd)
-        pend = enter & (occ_ref[:, 0] < 0.5)
+            pend = _slab_pend(shortlist_ref[i, p])
 
-        @pl.when(jnp.any(pend))
-        def _():
-            if resident:
-                K = kc_ref[ci].reshape(9, 4 * cs)
-                kof_blk = aux_ref[ci, 0, :]
-                msk_blk = aux_ref[ci, 1, :]
-            else:
-                slot_ = jax.lax.rem(p, 2)
-                K = kbuf[slot_].reshape(9, 4 * cs)
-                kof_blk = abuf[slot_, 0, :]
-                msk_blk = abuf[slot_, 1, :]
-
-            prods = jax.lax.dot_general(
-                feats, K, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            ).reshape(-1, 4, cs)
-            det = prods[:, 0, :]
-            u_num = sign * prods[:, 1, :]
-            v_num = prods[:, 2, :]
-            t_num = prods[:, 3, :] - kof_blk[None, :]
-
-            ok = jnp.abs(det) >= TRIANGLE_DET_EPS
-            inv = jnp.where(ok, 1.0, 0.0) / jnp.where(ok, det, 1.0)
-            u = u_num * inv
-            v = v_num * inv
-            t = t_num * inv
-            valid = (
-                ok & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1)
-                & (msk_blk[None, :] > 0)
-                & (t > t_clip) & (t < bnd[:, None])
-            )
-            occ_ref[:, 0] = jnp.maximum(
-                occ_ref[:, 0], jnp.any(valid, axis=1).astype(jnp.float32)
-            )
-
-        if resident:
-            # all occluded, or no later cluster can sit inside any ray's
-            # remaining (t_clip, bnd) window
-            all_occ = jnp.min(occ_ref[:, 0]) > 0.5
-            no_more = ent_ref[i, p + 1] > jnp.max(
-                jnp.where(occ_ref[:, 0] > 0.5, 0.0, texit)
-            )
-
-            @pl.when(all_occ | no_more)
+            @pl.when(jnp.any(pend))
             def _():
-                done_ref[0, 0] = 1
+                slot_ = jax.lax.rem(p, 2)
+                _occ_update(
+                    kbuf[slot_].reshape(9, 4 * cs),
+                    abuf[slot_, 0, :], abuf[slot_, 1, :], cs,
+                )
+            return 0
+
+        # Resident: GROUP_C shortlist positions per iteration (see
+        # _culled_kernel — tail/clamped clusters cannot produce MT hits).
+        base = p * GROUP_C
+        cis = [
+            shortlist_ref[i, jnp.minimum(base + g, C_total - 1)]
+            for g in range(GROUP_C)
+        ]
+        pend_any = _slab_pend(cis[0])
+        for ci in cis[1:]:
+            pend_any = pend_any | _slab_pend(ci)
+
+        @pl.when(jnp.any(pend_any))
+        def _():
+            K = jnp.concatenate(
+                [kc_ref[ci] for ci in cis], axis=2
+            ).reshape(9, 4 * GROUP_C * cs)
+            aux_g = jnp.concatenate([aux_ref[ci] for ci in cis], axis=1)
+            _occ_update(K, aux_g[0, :], aux_g[1, :], GROUP_C * cs)
+
+        # all occluded, or no later cluster can sit inside any ray's
+        # remaining (t_clip, bnd) window
+        all_occ = jnp.min(occ_ref[:, 0]) > 0.5
+        nxt_pos = jnp.minimum(base + GROUP_C, ent_ref.shape[1] - 1)
+        no_more = ent_ref[i, nxt_pos] > jnp.max(
+            jnp.where(occ_ref[:, 0] > 0.5, 0.0, texit)
+        )
+
+        @pl.when(all_occ | no_more)
+        def _():
+            done_ref[0, 0] = 1
 
         return 0
 
-    jax.lax.fori_loop(0, n_active, body, 0)
+    if resident:
+        n_iters = (n_active + GROUP_C - 1) // GROUP_C
+    else:
+        n_iters = n_active
+    jax.lax.fori_loop(0, n_iters, body, 0)
 
 
 def triangle_occluded(
