@@ -193,7 +193,15 @@ def _culled_kernel(
 
     def _mt_update(K, kof_blk, msk_blk, orig_row, width):
         """One Moller-Trumbore matmul over `width` packed triangle columns
-        + nearest-t / tie-break update. K: [9, 4*width]."""
+        + nearest-t / tie-break update. K: [9, 4*width].
+
+        The barycentric bounds are tested in RATIONAL space (multiply
+        through by det: u >= 0 <=> u_num*det >= 0, u+v <= 1 <=>
+        (u_num+v_num)*det <= det^2) — no guarded reciprocal, no u/v
+        materialization, and u <= 1 is implied by v >= 0 & u+v <= 1.
+        det^2 would only overflow for scene scales (~1e19) where f32 MT
+        is already unusable. t still pays one unguarded reciprocal
+        (IEEE inf/nan lanes are masked by `valid`)."""
         prods = jax.lax.dot_general(
             feats, K, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -228,8 +236,14 @@ def _culled_kernel(
         orig_blk = jnp.min(
             jnp.where(is_min, orig_f, jnp.float32(_BIG_I)), axis=1
         ).astype(jnp.int32)
+        # Tie-break only between REAL hits: an all-_BIG block would
+        # otherwise "win" the _BIG == _BIG tie and stamp the group's
+        # minimum original index onto MISS rays — junk that depends on
+        # which clusters happen to share the tile (tiling-dependent,
+        # streaming-vs-resident-divergent). Gating on t_blk < _BIG keeps
+        # miss rays at the deterministic _BIG_I sentinel.
         better = (t_blk < t_ref[:, 0]) | (
-            (t_blk == t_ref[:, 0]) & (orig_blk < idx_ref[:, 0])
+            (t_blk < _BIG) & (t_blk == t_ref[:, 0]) & (orig_blk < idx_ref[:, 0])
         )
         t_ref[:, 0] = jnp.where(better, t_blk, t_ref[:, 0])
         idx_ref[:, 0] = jnp.where(better, orig_blk, idx_ref[:, 0])
@@ -300,6 +314,50 @@ def _culled_kernel(
     jax.lax.fori_loop(0, n_iters, body, 0)
 
 
+N_SUPER = 16  # footprint-key superclusters (high bits of the sort key)
+
+
+def _footprint_sort_keys(o, d, mesh, *, allow_negative):
+    """uint32 sort key per ray: the ray's SUPERCLUSTER entry mask in the
+    high bits, the direction+origin key (shifted) below. The culled
+    kernels' cost is live_tiles x tile-UNION shortlist width; direction+
+    origin keys alone leave bounce tiles whose union is the whole mesh
+    even though each ray enters only a fraction of the clusters. Grouping
+    rays by which coarse regions they actually traverse makes the tile
+    union approach the per-ray footprint — the quantity the kernel's slab
+    pretests can then prune (dragon gillum16: 0.632 -> 0.503 s/frame;
+    clean shadows 0.225 -> 0.179; results bitwise identical since per-ray
+    intersection is tile-independent).
+
+    Superclusters are N_SUPER contiguous runs of the (Morton-ordered)
+    cluster list, so their AABBs are tight; masks use the same bounds
+    family as the cull (mirror-extended under parity). Granularity is
+    flat from 8 to 32 on dragon; 16 keeps half the key for the spatial
+    bits. Rays entering nothing get mask 0 and sort first — their tiles
+    carry empty shortlists (a dynamic tile-grid bound was measured on top
+    of this and bought only ~0.4%: empty tiles already cost two sentinel
+    stores)."""
+    lo_c, hi_c = mesh.bounds(mirrored=allow_negative)
+    C = lo_c.shape[0]
+    n_sc = min(N_SUPER, C)
+    g = -(-C // n_sc)
+    pad = n_sc * g - C
+    # Empty clusters carry the (lo=1, hi=0) never-hit sentinel; padding
+    # with it keeps group reductions conservative (a box can only grow).
+    lo_p = jnp.concatenate([lo_c, jnp.ones((pad, 3), lo_c.dtype)])
+    hi_p = jnp.concatenate([hi_c, jnp.zeros((pad, 3), hi_c.dtype)])
+    sc_lo = lo_p.reshape(n_sc, g, 3).min(axis=1)
+    sc_hi = hi_p.reshape(n_sc, g, 3).max(axis=1)
+    amask, _ = accel.ray_aabb_entry(
+        o, d, sc_lo, sc_hi, allow_negative=allow_negative
+    )  # [R, n_sc]
+    weights = (jnp.uint32(1) << jnp.arange(n_sc, dtype=jnp.uint32))[None, :]
+    scmask = jnp.sum(jnp.where(amask, weights, jnp.uint32(0)), axis=1)
+
+    spatial = _spatial_sort_keys(o, d, mesh.aabb_lo.min(0), mesh.aabb_hi.max(0))
+    return (scmask << np.uint32(32 - n_sc)) | (spatial >> np.uint32(n_sc))
+
+
 def _spatial_sort_keys(o, d, lo, hi):
     """uint32 sort key per ray: 7-bit direction bucket (octant + two
     2-bit quantized axis ratios) in the HIGH bits, 24-bit Morton code of
@@ -366,10 +424,13 @@ def triangle_nearest_culled(
         # reconstructs them) and ONE [R,3] row scatter out (the packed
         # results). Measured on dragon gillum16: the previous per-array
         # form spent ~0.5 s/frame in these permutes alone.
-        keys = _spatial_sort_keys(o, d, mesh.aabb_lo.min(0), mesh.aabb_hi.max(0))
+        keys = _footprint_sort_keys(
+            o, d, mesh, allow_negative=quirks.reference_triangle_test
+        )
         if live is not None:
-            # dead rays sort to a tail of empty tiles; the key doubles as
-            # the liveness channel (live keys are < 2^31 by construction)
+            # dead rays sort to a tail of empty tiles (an all-ones key
+            # also means "enters every supercluster", but such rays carry
+            # full shortlists anyway, so the collision is harmless)
             keys = jnp.where(live > 0, keys, jnp.uint32(0xFFFFFFFF))
         keys_s, order_r = jax.lax.sort_key_val(
             keys, jnp.arange(R, dtype=jnp.int32)
@@ -708,7 +769,9 @@ def triangle_occluded(
     )
     fb = jnp.concatenate([feats, bnd[:, None]], axis=1)  # [R, 10]
     if reorder:
-        keys = _spatial_sort_keys(o, d, mesh.aabb_lo.min(0), mesh.aabb_hi.max(0))
+        keys = _footprint_sort_keys(
+            o, d, mesh, allow_negative=quirks.reference_triangle_test
+        )
         if live is not None:
             keys = jnp.where(live > 0, keys, jnp.uint32(0xFFFFFFFF))
         keys_s, order_r = jax.lax.sort_key_val(

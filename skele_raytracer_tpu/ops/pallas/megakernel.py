@@ -314,8 +314,12 @@ def _megakernel(
                     preferred_element_type=jnp.float32, precision=_HI,
                 )  # [R, 14]
 
+                # Real-hit-gated tie-break (see culled._mt_update): an
+                # all-miss block must not stamp its min orig index (and
+                # shade planes) onto miss rays via the _BIG == _BIG tie.
                 better = (t_blk < tb_sc[:, 0]) | (
-                    (t_blk == tb_sc[:, 0]) & (orig_blk < ob_sc[:, 0])
+                    (t_blk < _BIG)
+                    & (t_blk == tb_sc[:, 0]) & (orig_blk < ob_sc[:, 0])
                 )
                 shade_sc[:] = jnp.where(better[:, None], shade_blk, shade_sc[:])
                 tb_sc[:, 0] = jnp.where(better, t_blk, tb_sc[:, 0])
