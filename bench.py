@@ -132,6 +132,23 @@ def main() -> None:
     fwd4k = jax.jit(lambda s, k: render_radiance(s, cfg4k, k))
     t_4k = _time(fwd4k, scene, key)
 
+    # Sustained serving throughput: K frames (distinct seeds) inside ONE
+    # jitted program (lax.map), reduced to per-frame means so readback is
+    # negligible. This amortizes the fixed dispatch+readback latency the
+    # single-frame number pays per call — the honest device-rate figure
+    # for a render service pipelining frames (measured: pipelining
+    # separate dispatches does NOT amortize the tunnel round trip; frames
+    # must share one program).
+    K_SUS = 16
+    sustained = jax.jit(
+        lambda s, seeds: jax.lax.map(
+            lambda k: jnp.mean(render_radiance(s, cfg, k), axis=(0, 1)),
+            seeds,
+        )
+    )
+    seeds = jnp.arange(K_SUS, dtype=jnp.uint32)
+    t_sus = _time(sustained, scene, seeds) / K_SUS
+
     dragon = _bench_dragon()
     dragon.append(
         {"config": "spheres2 3840x2160 parity gillum16 shadows",
@@ -161,6 +178,8 @@ def main() -> None:
                 "fwd_s_per_frame": round(t_fwd, 4),
                 "fwdbwd_s_per_frame": round(t_fwdbwd, 4),
                 "fwdbwd_rays_per_sec": round(rays_fwdbwd),
+                "sustained_s_per_frame": round(t_sus, 4),
+                "sustained_rays_per_sec": round(RAYS_PER_FRAME / t_sus),
                 "sol": sol,
                 "configs": dragon,
                 "device": str(jax.devices()[0]),
