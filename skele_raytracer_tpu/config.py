@@ -111,6 +111,13 @@ class RenderConfig:
     # fused kernel is opt-in — it remains the single-launch option and the
     # custom_vjp hit-replay demonstrator.
     fused_megakernel: bool = False
+    # Under backend="pallas", schedule mesh-scale Monte-Carlo renders
+    # bounce-major (models/meshtrace.py: frame-level footprint sort +
+    # cond-skipped dead chunks) instead of sample-major chunking. On the
+    # measured dragon gillum16 config the two are a wash (0.518 vs
+    # 0.517 s/frame — the footprint sort already dead-culls inside the
+    # kernels either way), so the classic wavefront schedule is opt-in.
+    bounce_major: bool = False
 
     @property
     def samples_per_pixel(self) -> int:

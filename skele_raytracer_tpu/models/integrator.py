@@ -157,18 +157,28 @@ def _mc_continue(scene, cfg: RenderConfig, key, hits, mat, ids, bounce):
     Returns (o', d', factor [R,3]) with factor = 2*pi*r1*diffuse — the
     per-bounce throughput multiplier derived in the module docstring.
     """
+    return mc_continue_arrays(
+        cfg, key, hits.point, hits.normal, mat.diffuse, ids, bounce
+    )
+
+
+def mc_continue_arrays(cfg: RenderConfig, key, point, normal, diffuse, ids,
+                       bounce):
+    """_mc_continue on raw (point, normal, diffuse) arrays — shared with the
+    bounce-major orchestrator (models/meshtrace.py), which carries hit
+    geometry as plain arrays rather than Hits/Material records."""
     quirks = cfg.quirks
     r = sampling.uniform(key, ids, bounce, sampling.PURPOSE_PATH, (2,))
     r1, r2 = r[:, 0], r[:, 1]
     smp = sampling.uniform_sample_hemi(r1, r2)
-    d_new = sampling.to_world(smp, hits.normal, quirks=quirks)
+    d_new = sampling.to_world(smp, normal, quirks=quirks)
     if not quirks.unnormalized_ray_dirs:
         d_new = normalize(d_new)
     if quirks.scalar_epsilon_offset:
-        o_new = hits.point + INDIRECT_ORIGIN_EPS  # scalar add (src/raytrace.h:128)
+        o_new = point + INDIRECT_ORIGIN_EPS  # scalar add (src/raytrace.h:128)
     else:
-        o_new = offset_origin(hits.point, hits.normal)
-    factor = 2.0 * _PI * r1[:, None] * mat.diffuse
+        o_new = offset_origin(point, normal)
+    factor = 2.0 * _PI * r1[:, None] * diffuse
     return o_new, d_new, factor
 
 

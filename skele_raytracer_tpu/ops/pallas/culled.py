@@ -213,14 +213,20 @@ def _culled_kernel(
         t_num = prods[:, 3, :] - kof_blk[None, :]
 
         ok = jnp.abs(det) >= TRIANGLE_DET_EPS
-        inv = jnp.where(ok, 1.0, 0.0) / jnp.where(ok, det, 1.0)
-        u = u_num * inv
-        v = v_num * inv
-        t = t_num * inv
+        # Rational-space bary tests (docstring): u >= 0 <=> u_num*det >= 0,
+        # v >= 0 likewise, u+v <= 1 <=> (u_num+v_num)*det <= det^2; u <= 1
+        # is implied by v >= 0 & u+v <= 1. Thins the VPU epilogue: one
+        # reciprocal + one multiply for t on candidate lanes instead of a
+        # guarded div + two multiplies + five compares in quotient space.
+        det2 = det * det
         valid = (
-            ok & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1)
+            ok
+            & (u_num * det >= 0)
+            & (v_num * det >= 0)
+            & ((u_num + v_num) * det <= det2)
             & (msk_blk[None, :] > 0)
         )
+        t = t_num / jnp.where(ok, det, 1.0)
         if t_clip is not None:
             valid = valid & (t > t_clip)
         t_all = jnp.where(valid, t, _BIG)
@@ -671,14 +677,19 @@ def _occluded_kernel(
         t_num = prods[:, 3, :] - kof_blk[None, :]
 
         ok = jnp.abs(det) >= TRIANGLE_DET_EPS
-        inv = jnp.where(ok, 1.0, 0.0) / jnp.where(ok, det, 1.0)
-        u = u_num * inv
-        v = v_num * inv
-        t = t_num * inv
+        # Rational-space tests — see _mt_update. The t-window test also
+        # stays rational: t > t_clip <=> t_num*det > t_clip*det^2 and
+        # t < bnd <=> t_num*det < bnd*det^2 — the any-hit kernel never
+        # needs t itself, so the division disappears entirely.
+        det2 = det * det
+        td = t_num * det
         valid = (
-            ok & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1)
+            ok
+            & (u_num * det >= 0)
+            & (v_num * det >= 0)
+            & ((u_num + v_num) * det <= det2)
             & (msk_blk[None, :] > 0)
-            & (t > t_clip) & (t < bnd[:, None])
+            & (td > t_clip * det2) & (td < bnd[:, None] * det2)
         )
         occ_ref[:, 0] = jnp.maximum(
             occ_ref[:, 0], jnp.any(valid, axis=1).astype(jnp.float32)
