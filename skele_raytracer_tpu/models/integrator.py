@@ -157,16 +157,7 @@ def _mc_continue(scene, cfg: RenderConfig, key, hits, mat, ids, bounce):
     Returns (o', d', factor [R,3]) with factor = 2*pi*r1*diffuse — the
     per-bounce throughput multiplier derived in the module docstring.
     """
-    return mc_continue_arrays(
-        cfg, key, hits.point, hits.normal, mat.diffuse, ids, bounce
-    )
-
-
-def mc_continue_arrays(cfg: RenderConfig, key, point, normal, diffuse, ids,
-                       bounce):
-    """_mc_continue on raw (point, normal, diffuse) arrays — shared with the
-    bounce-major orchestrator (models/meshtrace.py), which carries hit
-    geometry as plain arrays rather than Hits/Material records."""
+    point, normal, diffuse = hits.point, hits.normal, mat.diffuse
     quirks = cfg.quirks
     r = sampling.uniform(key, ids, bounce, sampling.PURPOSE_PATH, (2,))
     r1, r2 = r[:, 0], r[:, 1]
