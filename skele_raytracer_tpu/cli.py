@@ -64,6 +64,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--backend", default="auto", choices=("auto", "jnp", "pallas"),
                    help="hot-path backend: fused Pallas TPU kernels or pure "
                    "jnp (auto = pallas on TPU)")
+    # Progressive/restartable rendering — the TPU-era analog of the
+    # reference's DEFAULT mode, the live SDL display that draws the frame
+    # as it renders (reference src/main.cpp:108-227), plus the crash
+    # recovery the reference lacks (a crash there loses the whole frame,
+    # src/main.cpp:88-101).
+    p.add_argument("--progressive", action="store_true",
+                   help="render in restartable row bands "
+                   "(models/progressive.py); implied by --resume/--preview-dir")
+    p.add_argument("--band-rows", type=int, default=64, metavar="N",
+                   help="rows per progressive band (default 64)")
+    p.add_argument("--resume", default=None, metavar="STATE",
+                   help=".npz crash-resume state file: completed bands "
+                   "persist there and a rerun continues from the last one")
+    p.add_argument("--preview-dir", default=None, metavar="DIR",
+                   help="overwrite DIR/preview.ppm with the partial frame "
+                   "after each band (the live-display analog)")
     return p
 
 
@@ -127,7 +143,27 @@ def main(argv=None) -> int:
     n_dev = len(jax.devices())
     print(f"{cfg!r}\ndevices: {n_dev} x {jax.devices()[0].platform}", file=sys.stderr)
 
+    progressive = args.progressive or args.resume or args.preview_dir
+
     def run():
+        if progressive:
+            from skele_raytracer_tpu.models.progressive import render_progressive
+            from skele_raytracer_tpu.utils.image import write_ppm as _wppm
+
+            preview_cb = None
+            if args.preview_dir:
+                os.makedirs(args.preview_dir, exist_ok=True)
+                path = os.path.join(args.preview_dir, "preview.ppm")
+
+                def preview_cb(frame, rows_done):
+                    tmp = path + ".tmp"
+                    _wppm(tmp, frame)
+                    os.replace(tmp, path)
+
+            return render_progressive(
+                scene, cfg, seed=args.seed, band_rows=args.band_rows,
+                state_path=args.resume, preview_cb=preview_cb,
+            )
         if args.mesh and n_dev > 1:
             return render_sharded(scene, cfg, seed=args.seed, mesh=make_mesh())
         return render(scene, cfg, seed=args.seed)

@@ -100,8 +100,11 @@ class RenderConfig:
     # residency; must be a multiple of 128 for TPU lane alignment.
     rays_per_chunk: int = 1 << 16
     # Hot-path backend: "jnp" (pure JAX, XLA-fused) or "pallas" (fused
-    # megakernel). "auto" picks pallas on TPU when the config supports it.
-    backend: str = "jnp"
+    # TPU kernels). The default "auto" resolves to pallas on TPU and jnp
+    # elsewhere at dispatch time (resolved()) so library users get the
+    # kernels without reading the docs; per-scene gates inside the
+    # renderer still fall back to jnp where no kernel applies.
+    backend: str = "auto"
     # Under backend="pallas", route shading through the fused
     # intersect+shadow+shade megakernel (ops/pallas/megakernel.py) instead
     # of the split pipeline (culled intersect kernel + culled shadow kernel
@@ -111,13 +114,6 @@ class RenderConfig:
     # fused kernel is opt-in — it remains the single-launch option and the
     # custom_vjp hit-replay demonstrator.
     fused_megakernel: bool = False
-    # Under backend="pallas", schedule mesh-scale Monte-Carlo renders
-    # bounce-major (models/meshtrace.py: frame-level footprint sort +
-    # cond-skipped dead chunks) instead of sample-major chunking. On the
-    # measured dragon gillum16 config the two are a wash (0.518 vs
-    # 0.517 s/frame — the footprint sort already dead-culls inside the
-    # kernels either way), so the classic wavefront schedule is opt-in.
-    bounce_major: bool = False
 
     @property
     def samples_per_pixel(self) -> int:
@@ -130,6 +126,18 @@ class RenderConfig:
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)
+
+    def resolved(self) -> "RenderConfig":
+        """Resolve backend="auto" to the platform's winning path: Pallas
+        kernels on TPU, XLA-fused jnp elsewhere (the kernels would run
+        interpreted on CPU). Deterministic per process; called once at
+        the render dispatch entry (models/renderer.render_ids_chunked)."""
+        if self.backend != "auto":
+            return self
+        import jax
+
+        pallas = jax.default_backend() == "tpu"
+        return self.replace(backend="pallas" if pallas else "jnp")
 
 
 # Distance below which a secondary/shadow intersection is ignored in clean

@@ -27,6 +27,13 @@ from skele_raytracer_tpu.models.renderer import render_ids_chunked
 
 log = logging.getLogger(__name__)
 
+# Fault injection (SURVEY §5: the reference has no failure recovery to
+# test; this hook exists so ours is testable end-to-end): when set to N,
+# the render raises after N bands COMPLETED IN THIS PROCESS have been
+# persisted — simulating a crash mid-frame with a valid resume state on
+# disk. Used by the CLI e2e resume test (tests/test_cli.py).
+FAULT_AFTER_BANDS_ENV = "SKT_FAULT_AFTER_BANDS"
+
 
 def _band_ids(cfg: RenderConfig, y0: int, y1: int):
     spp = cfg.samples_per_pixel
@@ -122,6 +129,13 @@ def render_progressive(
             os.replace(tmp, state_path)
         if preview_cb is not None:
             preview_cb(frame, y1)
+
+        fault_after = os.environ.get(FAULT_AFTER_BANDS_ENV)
+        if fault_after is not None and (b + 1 - start_band) >= int(fault_after):
+            raise RuntimeError(
+                f"injected fault after {fault_after} bands "
+                f"({FAULT_AFTER_BANDS_ENV})"
+            )
 
     if state_path and os.path.exists(state_path):
         os.remove(state_path)

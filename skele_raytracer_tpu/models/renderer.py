@@ -71,16 +71,11 @@ def render_ids_chunked(scene, cfg: RenderConfig, key, sample_ids):
     through the jnp path below, so training is unaffected. Everything
     else streams through the chunked jnp/culled-kernel pipeline.
     """
-    from skele_raytracer_tpu.models import meshtrace
     from skele_raytracer_tpu.ops.pallas import pathtrace
 
+    cfg = cfg.resolved()  # backend="auto" -> pallas on TPU, jnp elsewhere
     if pathtrace.use_pathtrace(scene, cfg):
         return pathtrace.pathtrace_ids(scene, cfg, key, sample_ids)
-    # Opt-in (cfg.bounce_major): mesh-scale Monte-Carlo configs run
-    # bounce-major — frame-level footprint sort + cond-skipped dead
-    # chunks (models/meshtrace.py).
-    if meshtrace.use_meshtrace(scene, cfg, sample_ids.shape[0]):
-        return meshtrace.meshtrace_ids(scene, cfg, key, sample_ids)
     return render_ids_chunked_jnp(scene, cfg, key, sample_ids)
 
 

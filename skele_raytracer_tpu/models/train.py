@@ -127,6 +127,7 @@ def fit(
     (SURVEY.md §5 checkpoint/resume: the reference has none; long
     optimizations here restart from the last saved step).
     """
+    cfg = cfg.resolved()
     tx = make_optimizer(learning_rate)
     state = init_state(scene, tx)
     trainable = (

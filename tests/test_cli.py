@@ -58,6 +58,46 @@ def test_cli_reference_flag_set(tmp_path):
     assert os.path.exists(out)
 
 
+def test_cli_progressive_kill_and_resume(tmp_path):
+    """Failure recovery end-to-end (SURVEY §5; the reference loses the
+    whole frame on a crash, src/main.cpp:88-101): a render killed
+    mid-frame by fault injection leaves a resume state; rerunning with
+    --resume completes the frame and matches a clean one-shot render."""
+    from skele_raytracer_tpu.models.progressive import FAULT_AFTER_BANDS_ENV
+
+    state = str(tmp_path / "state.npz")
+    out = str(tmp_path / "resumed.ppm")
+    preview = str(tmp_path / "previews")
+    common = (
+        "--path", "scenes/spheres1.scn", "--output", out,
+        "--width", "48", "--height", "36", "--shadow",
+        "--band-rows", "8", "--resume", state, "--preview-dir", preview,
+    )
+    # First run: crash after 2 of the 5 bands have been persisted.
+    os.environ[FAULT_AFTER_BANDS_ENV] = "2"
+    try:
+        r1 = _run(*common)
+    finally:
+        del os.environ[FAULT_AFTER_BANDS_ENV]
+    assert r1.returncode != 0
+    assert os.path.exists(state), "crash must leave a resume state"
+    assert os.path.exists(os.path.join(preview, "preview.ppm"))
+    # Second run resumes from band 2 and completes.
+    r2 = _run(*common)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert not os.path.exists(state), "completed render removes the state"
+    resumed = read_ppm(out)
+    # One-shot render of the same config must be pixel-identical
+    # (band/chunk partition invariance).
+    one_shot = str(tmp_path / "oneshot.ppm")
+    r3 = _run(
+        "--path", "scenes/spheres1.scn", "--output", one_shot,
+        "--width", "48", "--height", "36", "--shadow", "--no-mesh",
+    )
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    np.testing.assert_array_equal(resumed, read_ppm(one_shot))
+
+
 def test_cli_missing_scene_fails_cleanly(tmp_path):
     r = _run("--path", "/nope/missing.scn", "--output", str(tmp_path / "x.ppm"))
     assert r.returncode == 1
