@@ -12,8 +12,12 @@ import sys
 # This image injects an `axon` TPU PJRT plugin via a PYTHONPATH
 # sitecustomize that imports jax and initializes the backend BEFORE any
 # user code runs, so setting JAX_PLATFORMS/XLA_FLAGS here is too late.
-# Re-exec pytest once with the sitecustomize stripped and the CPU mesh
-# flags in place (guarded against loops by SKT_TEST_REEXEC).
+# Re-run pytest once as a CHILD process with the sitecustomize stripped
+# and the CPU mesh flags in place (guarded against loops by
+# SKT_TEST_REEXEC). Done in pytest_configure with global capture
+# suspended: pytest has already replaced fds 1/2 by then, so a plain
+# execve/child would write into capture buffers nobody flushes (observed
+# as a green-but-silent suite).
 
 
 def _needs_reexec() -> bool:
@@ -25,7 +29,14 @@ def _needs_reexec() -> bool:
     return len(devs) < 8 or devs[0].platform != "cpu"
 
 
-if _needs_reexec():
+def pytest_configure(config):
+    if not _needs_reexec():
+        return
+    import subprocess
+
+    capman = config.pluginmanager.getplugin("capturemanager")
+    if capman is not None:
+        capman.suspend_global_capture(in_=True)
     env = dict(os.environ)
     env["SKT_TEST_REEXEC"] = "1"
     env["JAX_PLATFORMS"] = "cpu"
@@ -37,11 +48,12 @@ if _needs_reexec():
         for p in env.get("PYTHONPATH", "").split(os.pathsep)
         if p and "axon" not in p
     )
-    os.execve(
-        sys.executable,
-        [sys.executable, "-m", "pytest"] + sys.argv[1:],
-        env,
-    )
+    rc = subprocess.run(
+        [sys.executable, "-m", "pytest"] + sys.argv[1:], env=env
+    ).returncode
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(rc)
 
 sys.path.insert(0, os.path.dirname(__file__))  # make `oracle` importable
 

@@ -118,6 +118,7 @@ def test_megakernel_render_matches_jnp(mc):
     assert close.mean() > 0.99, f"{(~close).sum()} px differ"
 
 
+@pytest.mark.slow
 def test_megakernel_grad_matches_jnp():
     """custom_vjp replay backward: gradients through the fused path match
     the pure-jnp path on materials and lights (structure-independent) and

@@ -145,6 +145,7 @@ def test_pallas_backend_is_differentiable(parsed_test_scene):
         )
 
 
+@pytest.mark.slow
 def test_culled_backend_grad_flows_to_vertices():
     """The culled (mesh-scale) kernel path under jax.grad: triangle-vertex
     gradients flow via the hit-structure replay and match the jnp scan."""
@@ -180,6 +181,7 @@ def test_culled_backend_grad_flows_to_vertices():
     )
 
 
+@pytest.mark.slow
 def test_pallas_backend_renders_same_image(parsed_test_scene):
     scene = parsed_test_scene.to_scene()
     base = RenderConfig(

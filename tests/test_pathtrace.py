@@ -68,7 +68,18 @@ def _compare(parsed, cfg, seed=7, frac_tol=0.005, atol=1e-4):
 CFG = dict(width=24, height=16, use_shadows=True, backend="pallas")
 
 
+class TestSmoke:
+    """Minimal kernel-vs-jnp check that stays in the fast default suite;
+    the exhaustive audits below are `slow` (interpret-mode kernels on the
+    CPU mesh take minutes each — run with `pytest -m slow`)."""
+
+    def test_small_parity_blinn_phong(self, parsed_spheres):
+        _compare(parsed_spheres, RenderConfig(
+            width=16, height=8, use_shadows=True, backend="pallas"))
+
+
 class TestEquivalence:
+    pytestmark = [pytest.mark.slow]
     def test_parity_mc_depth2(self, parsed_spheres):
         _compare(parsed_spheres, RenderConfig(
             monte_carlo=True, num_paths=4, max_depth=2, **CFG))
@@ -172,6 +183,7 @@ class TestDispatch:
 
 
 class TestGradients:
+    pytestmark = [pytest.mark.slow]
     def test_grad_matches_jnp_backend(self, parsed_spheres):
         """The custom_vjp recomputes through the jnp path, so the gradient
         FORMULA is identical to backend="jnp"; the only difference is the
@@ -242,6 +254,7 @@ class TestGradients:
 
 
 class TestSharded:
+    pytestmark = [pytest.mark.slow]
     def test_sharded_render_matches_single_device(self, parsed_spheres):
         """The kernel path composes with shard_map: an 8-device mesh
         renders the same frame (per-ray values are partition-independent;
@@ -262,6 +275,7 @@ class TestSharded:
 
 
 class TestPartitionInvariance:
+    pytestmark = [pytest.mark.slow]
     def test_split_ids_bitwise(self, parsed_spheres):
         """Radiance is per-ray; any partition of the id space must
         reproduce the identical values (the property device sharding and

@@ -1,5 +1,6 @@
 """Tiled restartable rendering: identical pixels, resume, retry."""
 
+import pytest
 import numpy as np
 
 import jax.numpy as jnp
@@ -14,6 +15,7 @@ CFG = RenderConfig(
 )
 
 
+@pytest.mark.slow
 def test_progressive_matches_oneshot(parsed_test_scene):
     scene = parsed_test_scene.to_scene()
     oneshot = np.asarray(render_radiance(scene, CFG, jnp.uint32(5)))
@@ -53,6 +55,7 @@ def test_progressive_resume(parsed_test_scene, tmp_path):
     assert not os.path.exists(state)  # cleaned up on completion
 
 
+@pytest.mark.slow
 def test_progressive_retry(parsed_test_scene, monkeypatch):
     scene = parsed_test_scene.to_scene()
     real = progressive.render_ids_chunked

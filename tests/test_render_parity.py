@@ -163,6 +163,7 @@ def test_deterministic_without_sampling(parsed_test_scene):
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_deep_whitted_chunk_scaling(parsed_test_scene):
     """Clean-mode Whitted frontier doubles per depth level; the chunker
     must shrink samples-per-chunk so deep traces stay in memory, without

@@ -60,6 +60,7 @@ def test_sharded_render_matches_single_device(scene):
         )
 
 
+@pytest.mark.slow
 def test_sharded_render_mesh_shape_invariance(scene):
     key = jnp.uint32(3)
     a = render_radiance_sharded(scene, CFG, key, make_mesh(jax.devices(), (8, 1)))
@@ -67,6 +68,7 @@ def test_sharded_render_mesh_shape_invariance(scene):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_sharded_grads_match_single_device(scene):
     key = jnp.uint32(5)
     target = jnp.zeros((CFG.height, CFG.width, 3), jnp.float32)
@@ -86,6 +88,7 @@ def test_sharded_grads_match_single_device(scene):
         assert_images_close(a, b, atol=1e-5, rtol=1e-3, what="grad leaf")
 
 
+@pytest.mark.slow
 def test_train_step_runs_and_descends(scene):
     tx = train.make_optimizer(5e-3)
     state = train.init_state(scene, tx)
