@@ -105,18 +105,33 @@ def _bench_grad_err(scene) -> None:
     the driver-captured artifact)."""
     import numpy as np
 
+    # spheres1 in CLEAN mode, not the headline spheres2/parity scene:
+    # spheres2 carries a spherical_fog that parity's sscanf quirk zeroes,
+    # and a zeroed fog reroutes BOTH per-point-light terms to zero
+    # (shading.py direct_illumination) — radiance there is ambient-only,
+    # piecewise-CONSTANT in geometry, so the true autodiff gradient of
+    # centres/positions is 0 and FD sees only silhouette jumps. spheres1
+    # clean has no fog: lights actually shade, geometry leaves carry a
+    # continuous signal, and the config still routes through the
+    # whole-frame Pallas kernel + its analytic backward (use_pathtrace).
+    from skele_raytracer_tpu.config import CLEAN
+
+    scene = parse_scene("scenes/spheres1.scn").to_scene(CLEAN)
     cfg = RenderConfig(
         width=96, height=54, monte_carlo=True, num_paths=4, max_depth=2,
-        use_shadows=True, rays_per_chunk=1 << 12,
+        use_shadows=True, rays_per_chunk=1 << 12, quirks=CLEAN,
     )
 
-    def loss(s):
-        img = render_radiance(s, cfg, jnp.uint32(7))
-        w = jnp.linspace(0.5, 1.5, img.size).reshape(img.shape)
-        return jnp.sum(img * w)
+    def loss_fn(c):
+        def loss(s):
+            img = render_radiance(s, c, jnp.uint32(7))
+            w = jnp.linspace(0.5, 1.5, img.size).reshape(img.shape)
+            return jnp.sum(img * w)
 
-    loss_j = jax.jit(loss)
-    grad_j = jax.jit(jax.grad(loss))
+        return loss
+
+    loss_j = jax.jit(loss_fn(cfg))
+    grad_j = jax.jit(jax.grad(loss_fn(cfg)))
     g = grad_j(scene)
 
     # (leaf getter, leaf setter path, flat indices to probe, fd eps)
@@ -138,17 +153,29 @@ def _bench_grad_err(scene) -> None:
 
         return get, put
 
+    # Three figures, because "gradient error" means three different things
+    # for a renderer:
+    # 1. smooth leaves (colours, light intensity, background): the pixel
+    #    function is differentiable, autodiff must match central FD to
+    #    curvature/rounding noise. Validates the backward math end to end.
+    # 2. geometry leaves, kernel vs jnp-autodiff oracle: the Pallas
+    #    analytic backward against plain XLA autodiff of the same
+    #    estimator. Validates the kernel backward implementation on the
+    #    leaves FD cannot judge.
+    # 3. geometry leaves vs FD (aggregate norm over all real sphere
+    #    centres): FD at finite eps also sees visibility-silhouette motion
+    #    that interior-point autodiff (stop_gradient'ed hit selection)
+    #    cannot — a documented property of differentiable rendering, so
+    #    this figure is reported with that caveat, not folded into 1.
     probes = [
         ("spheres.diffuse", leaf("spheres", "diffuse"), (0, 4, 9)),
-        ("spheres.center", leaf("spheres", "center"), (0, 4)),
         ("point_lights.colour", leaf("point_lights", "colour"), (0, 2)),
-        ("point_lights.position", leaf("point_lights", "position"), (0, 1)),
         ("background", leaf("background",), (0, 2)),
     ]
     eps = 2e-2
+    max_rel, worst, n = 0.0, "", 0
     max_err, max_fd = 0.0, 0.0
-    n = 0
-    for _, (get, put), idxs in probes:
+    for name, (get, put), idxs in probes:
         base = np.asarray(get(scene), np.float64)
         ga = np.asarray(get(g), np.float64).ravel()
         for flat in idxs:
@@ -160,15 +187,64 @@ def _bench_grad_err(scene) -> None:
             lp = float(loss_j(put(scene, jnp.asarray(base + d, jnp.float32))))
             lm = float(loss_j(put(scene, jnp.asarray(base - d, jnp.float32))))
             fd = (lp - lm) / (2 * eps)
-            max_err = max(max_err, abs(ga[flat] - fd))
-            max_fd = max(max_fd, abs(fd))
+            err = abs(ga[flat] - fd)
+            # central FD on an f32 sum loss carries O(eps^2) curvature +
+            # rounding noise, so the meaningful figure is err/|fd|,
+            # denominator floored at 1.
+            rel = err / max(abs(fd), 1.0)
+            if rel > max_rel:
+                max_rel, worst = rel, f"{name}[{flat}]"
             n += 1
+            max_err = max(max_err, err)
+            max_fd = max(max_fd, abs(fd))
+
+    # 2. Pallas analytic backward vs the jnp autodiff oracle on geometry.
+    g_oracle = jax.jit(jax.grad(loss_fn(cfg.replace(backend="jnp"))))(scene)
+    geo_vs_jnp = 0.0
+    for path in (("spheres", "center"), ("spheres", "radius")):
+        get, _ = leaf(*path)
+        a = np.asarray(get(g), np.float64)
+        b = np.asarray(get(g_oracle), np.float64)
+        geo_vs_jnp = max(
+            geo_vs_jnp, float(np.abs(a - b).max() / max(np.abs(b).max(), 1.0))
+        )
+
+    # 3. FD aggregate over every real sphere-centre coordinate.
+    get, put = leaf("spheres", "center")
+    base = np.asarray(get(scene), np.float64)
+    mask = np.asarray(scene.spheres.mask) > 0
+    ga = np.asarray(get(g), np.float64)
+    fd_all = np.zeros_like(base)
+    for i in range(base.shape[0]):
+        if not mask[i]:
+            continue
+        for j in range(base.shape[1]):
+            d = np.zeros_like(base)
+            d[i, j] = eps
+            lp = float(loss_j(put(scene, jnp.asarray(base + d, jnp.float32))))
+            lm = float(loss_j(put(scene, jnp.asarray(base - d, jnp.float32))))
+            fd_all[i, j] = (lp - lm) / (2 * eps)
+            n += 1
+    geo_fd_rel = float(
+        np.linalg.norm((ga - fd_all)[mask])
+        / max(np.linalg.norm(fd_all[mask]), 1e-9)
+    )
+    max_err = max(max_err, float(np.abs(ga - fd_all)[mask].max()))
+    max_fd = max(max_fd, float(np.abs(fd_all[mask]).max()))
+
     RESULT["grad_err"] = {
+        "smooth_max_rel_err": round(max_rel, 6),
+        "smooth_worst_param": worst,
+        "geometry_kernel_vs_jnp_rel": round(geo_vs_jnp, 6),
+        "geometry_fd_norm_rel": round(geo_fd_rel, 4),
+        "geometry_note": "FD at finite eps sees visibility-silhouette "
+        "motion that stop_gradient'ed hit selection cannot; the "
+        "kernel-vs-jnp figure isolates backward implementation error",
         "max_abs_err": round(max_err, 6),
         "max_fd_magnitude": round(max_fd, 4),
         "fd_eps": eps,
         "n_params": n,
-        "config": "spheres2 96x54 gillum4 depth2 shadows, autodiff vs central FD",
+        "config": "spheres1 96x54 clean gillum4 depth2 shadows, autodiff vs central FD",
     }
 
 

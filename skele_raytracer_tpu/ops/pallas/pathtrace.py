@@ -35,9 +35,16 @@ tests/test_pathtrace.py pins the jnp path to float tolerance.
 Differentiation: `pathtrace_ids` is a custom_vjp. Under differentiation
 the kernel additionally emits one packed int32 hit record per (sample,
 bounce) — primitive index, hit bit, triangle bit, per-light unshadowed
-bits — and the backward REPLAYS shading from those records in
-differentiable jnp at O(rays) (`_replay_radiance`): the backward reuses
-the forward's intersection structure instead of re-intersecting.
+bits — and the backward is a SECOND Pallas kernel: per tile it replays
+shading from those records (nearest-hit scans collapse to the selected
+primitive's O(1) t, occlusion scans to record-bit gates) under jax.grad
+wrt the scene's scalar tables, accumulating the table cotangents across
+the sequential grid; jax.vjp of the table packing maps them back onto
+scene leaves. The backward reuses the forward's intersection structure
+and never leaves VMEM — fwd+bwd measures 1.31x the forward alone at the
+1080p gillum16 headline (0.046 vs 0.035 s/frame). The differentiable jnp
+replay (`_replay_radiance`) remains as the independent oracle the tests
+pin the kernel gradients to.
 """
 
 from __future__ import annotations
@@ -275,7 +282,7 @@ def _tangent_frame(nx, ny, nz):
     return (pnx, pny, pnz), (pbx, pby, pbz)
 
 
-def _build_kernel(
+def _build_frame_math(
     *,
     S: int,
     T: int,
@@ -295,15 +302,32 @@ def _build_kernel(
     angle: float,
     quirks,
     emit_records: bool = False,
+    replay: bool = False,
 ):
-    """Close the static render configuration over the kernel body.
+    """Close the static render configuration over the per-tile frame math
+    and return `frame_math(tabs, planes, seed, recs_in) -> (r, g, b,
+    recs_out)`.
 
-    emit_records: additionally write one packed int32 hit record per
-    (sample, bounce) — bits 0:8 sphere index, bit 8 hit flag, bits 9+
-    per-light unshadowed flags (point lights first, then directional,
-    both at their padded table positions). The custom_vjp backward
-    replays shading from these records instead of re-intersecting.
-    Requires the unrolled path loop (record slots are static indices).
+    The SAME math serves two kernels:
+
+    - FORWARD (replay=False): nearest hits come from the unrolled
+      primitive scans and shadows from in-register occlusion scans. With
+      emit_records, additionally return one packed int32 hit record per
+      (sample, bounce) — bits 0:8 primitive index, bit 8 hit flag, bit 9
+      triangle-won flag, bits 10+ per-light unshadowed flags (point
+      lights first, then directional, both at padded table positions).
+      Requires the unrolled path loop (record slots are static indices).
+
+    - BACKWARD REPLAY (replay=True): `recs_in` supplies the saved
+      records; every nearest-hit scan collapses to the SELECTED
+      primitive's O(1) t (gathered quadratic / Möller-Trumbore) and every
+      occlusion scan to a record-bit gate. The backward kernel calls
+      jax.grad over this function wrt the scalar tables — the analytic
+      in-kernel gradient that reuses the forward's intersection structure
+      (tests pin it to the jnp replay path's gradients).
+
+    `tabs` entries are indexed [row, col] — SMEM refs in the forward
+    kernel, traced jnp arrays under the backward kernel's jax.grad.
     """
     aspect = width / float(height)
     inv_w, inv_h = 1.0 / width, 1.0 / height
@@ -317,15 +341,13 @@ def _build_kernel(
     ref_test = quirks.reference_triangle_test
     tri_black = quirks.triangles_shade_black
     shadow_tris = tri_on and not quirks.sphere_only_shadows
+    assert not (emit_records and replay)
+    n_rec = 1 + (P * (D - 1) if (mc and D > 1) else 0)
 
-    def kernel(sph_ref, tri_ref, misc_ref, pl_ref, dl_ref, seed_ref, ids_ref,
-               xs_ref, ys_ref, cj_ref, ci_ref, r_ref, g_ref, b_ref,
-               *maybe_rec):
-        rec_ref = maybe_rec[0] if emit_records else None
-        seed = seed_ref[0, 0]
-        ids = ids_ref[...]
-        xs = xs_ref[...]
-        ys = ys_ref[...]
+    def frame_math(tabs, planes, seed, recs_in=None):
+        sph_ref, tri_ref, misc_ref, pl_ref, dl_ref = tabs
+        ids, xs, ys, cj, ci = planes
+        recs_out = [None] * n_rec
 
         cam = read3(misc_ref, 0, 0)
         right = read3(misc_ref, 0, 3)
@@ -392,10 +414,11 @@ def _build_kernel(
             for l in range(LD)
         ] if dir_on else []
 
-        def shade(x, n, amb, dif, spec, powr):
+        def shade(x, n, amb, dif, spec, powr, rec=None):
             """direct_illumination (ops/shading.py) on planes: ambient +
-            per-light Blinn-Phong with optional shadow scans. Also
-            returns the packed per-light unshadowed bits (or None)."""
+            per-light Blinn-Phong with optional shadow scans (forward) or
+            record-bit shadow gates (replay). Also returns the packed
+            per-light unshadowed bits (or None)."""
             dr = amb_s[0] * amb[0]
             dg = amb_s[1] * amb[1]
             db = amb_s[2] * amb[2]
@@ -405,16 +428,19 @@ def _build_kernel(
             # view vector from the CAMERA position (src/blinn_phong.h:93)
             vx, vy, vz, _ = _normalize3(cam[0] - x[0], cam[1] - x[1],
                                         cam[2] - x[2])
-            if clean_offsets:
-                # offset_origin(x, n): scale grows with |x| (shared by
-                # every light's shadow ray; hoisted)
-                xn = jnp.sqrt(jnp.maximum(
-                    x[0] * x[0] + x[1] * x[1] + x[2] * x[2], 0.0))
-                sc = CLEAN_T_EPS * (1.0 + xn)
-                sh_o = (x[0] + sc * n[0], x[1] + sc * n[1], x[2] + sc * n[2])
-            else:
-                sh_o = (x[0] + SHADOW_ORIGIN_EPS, x[1] + SHADOW_ORIGIN_EPS,
-                        x[2] + SHADOW_ORIGIN_EPS)
+            if use_shadows and not replay:
+                if clean_offsets:
+                    # offset_origin(x, n): scale grows with |x| (shared by
+                    # every light's shadow ray; hoisted)
+                    xn = jnp.sqrt(jnp.maximum(
+                        x[0] * x[0] + x[1] * x[1] + x[2] * x[2], 0.0))
+                    sc = CLEAN_T_EPS * (1.0 + xn)
+                    sh_o = (x[0] + sc * n[0], x[1] + sc * n[1],
+                            x[2] + sc * n[2])
+                else:
+                    sh_o = (x[0] + SHADOW_ORIGIN_EPS,
+                            x[1] + SHADOW_ORIGIN_EPS,
+                            x[2] + SHADOW_ORIGIN_EPS)
             for li, (lx, ly, lz, cr, cg, cb, lm) in enumerate(plights):
                 lvx, lvy, lvz = lx - x[0], ly - x[1], lz - x[2]
                 d2 = lvx * lvx + lvy * lvy + lvz * lvz
@@ -422,7 +448,10 @@ def _build_kernel(
                 d_l = jnp.sqrt(jnp.where(pos, d2, 1.0)) * pos
                 inv_dl = 1.0 / jnp.maximum(d_l, 1e-30)
                 ldx, ldy, ldz = lvx * inv_dl, lvy * inv_dl, lvz * inv_dl
-                if use_shadows:
+                if use_shadows and replay:
+                    # unshadowed bit saved by the forward kernel
+                    gate = lm * ((rec >> (10 + li)) & 1).astype(jnp.float32)
+                elif use_shadows:
                     sdx, sdy, sdz, _ = _normalize3(lvx, lvy, lvz)
                     occ = _occluded(sh_o, (sdx, sdy, sdz), sph, t_clip,
                                     d_l if shadow_bound else None,
@@ -454,7 +483,10 @@ def _build_kernel(
                 ldx = jnp.broadcast_to(ldx0, x[0].shape)
                 ldy = jnp.broadcast_to(ldy0, x[0].shape)
                 ldz = jnp.broadcast_to(ldz0, x[0].shape)
-                if use_shadows:
+                if use_shadows and replay:
+                    gate = lm * ((rec >> (10 + L + li)) & 1).astype(
+                        jnp.float32)
+                elif use_shadows:
                     occ = _occluded(sh_o, (ldx, ldy, ldz), sph, t_clip, None,
                                     tris=tris_geo if shadow_tris else (),
                                     ref_test=ref_test)
@@ -488,10 +520,56 @@ def _build_kernel(
                 rec = rec | bits
             return rec
 
-        def nearest(o3, d3):
-            """Combined nearest hit (geometry.intersect semantics: sphere
-            scan, triangle scan, triangle wins on strictly smaller t).
+        def nearest(slot, o3, d3):
+            """Combined nearest hit. Forward: geometry.intersect semantics
+            (sphere scan, triangle scan, triangle wins on strictly smaller
+            t). Replay: the saved record names the winner; only ITS t is
+            recomputed — the selected sphere's quadratic / the selected
+            triangle's Möller-Trumbore, O(1) per ray, differentiable wrt
+            the primitive (the jnp replay's replay_hit, on planes).
             Returns (hit_any, tri_wins|None, t, idx, shadesf, missf)."""
+            if replay:
+                rec = recs_in[slot]
+                hit_any = ((rec >> 8) & 1) > 0
+                idx = rec & 0xFF
+                dxp, dyp, dzp = d3
+                if tri_on:
+                    tri_wins = ((rec >> 9) & 1) > 0
+                    sph_sel = hit_any & ~tri_wins
+                else:
+                    tri_wins = None
+                    sph_sel = hit_any
+                if sph:
+                    cx, cy, cz, r2 = _gather(
+                        idx, [[s_[0], s_[1], s_[2], s_[3]] for s_ in sph],
+                        valid=sph_sel)
+                    ox, oy, oz = o3
+                    a = dxp * dxp + dyp * dyp + dzp * dzp
+                    a = jnp.where(a > 0, a, 1.0)  # dead rays never hit
+                    ex, ey, ez = ox - cx, oy - cy, oz - cz
+                    b = 2.0 * (dxp * ex + dyp * ey + dzp * ez)
+                    c = ex * ex + ey * ey + ez * ez - r2
+                    disc = b * b - 4.0 * a * c
+                    pos = disc > 0
+                    sq = jnp.sqrt(jnp.where(pos, disc, 1.0)) * pos
+                    t_sph = (-b - sq) * (0.5 / a)
+                else:
+                    t_sph = jnp.zeros(rec.shape, jnp.float32)
+                if tri_on:
+                    tri9 = _gather(
+                        idx, [list(tg[:9]) for tg in tris_geo],
+                        valid=tri_wins)
+                    one = jnp.ones(rec.shape, jnp.float32)
+                    _, t_tri = _tri_test(o3, d3, tuple(tri9) + (one,),
+                                         ref_test)
+                    t_sel = jnp.where(tri_wins, t_tri,
+                                      jnp.where(sph_sel, t_sph, 0.0))
+                else:
+                    t_sel = jnp.where(hit_any, t_sph, 0.0)
+                shades = sph_sel if (tri_on and tri_black) else hit_any
+                return (hit_any, tri_wins, t_sel, idx,
+                        shades.astype(jnp.float32),
+                        1.0 - hit_any.astype(jnp.float32))
             if sph:
                 s_hit, s_t, s_idx, _ = _scan_spheres(o3, d3, sph, t_clip)
             else:
@@ -555,8 +633,8 @@ def _build_kernel(
             else:
                 r0 = _draw(seed, 0, PURPOSE_JITTER, ids, 0)
                 r1j = _draw(seed, 0, PURPOSE_JITTER, ids, 1)
-                jx = (cj_ref[...] + r0) / grid
-                jy = (ci_ref[...] + r1j) / grid
+                jx = (cj + r0) / grid
+                jy = (ci + r1j) / grid
         else:
             jx = jy = np.float32(0.5)
         u = (2.0 * ((xs + jx) * inv_w) - 1.0) * angle * aspect
@@ -567,23 +645,24 @@ def _build_kernel(
         if not quirks.unnormalized_ray_dirs:
             dx, dy, dz, _ = _normalize3(dx, dy, dz)
 
-        hit0, triw0, t0, idx0, shades0f, miss0f = nearest(cam, (dx, dy, dz))
+        hit0, triw0, t0, idx0, shades0f, miss0f = nearest(
+            0, cam, (dx, dy, dz))
         m0 = gather_mat(idx0, triw0, True)
         amb0, dif0, spec0, pow0 = unpack(m0)
         cen0 = m0[n_sc:n_sc + 3]
         x0, n0 = hit_geom(cam, (dx, dy, dz), t0, hit0, triw0, idx0, cen0)
-        d0r, d0g, d0b, bits0 = shade(x0, n0, amb0, dif0, spec0, pow0)
+        d0r, d0g, d0b, bits0 = shade(x0, n0, amb0, dif0, spec0, pow0,
+                                     rec=recs_in[0] if replay else None)
         if emit_records:
-            rec_ref[0, ...] = pack_rec(idx0, hit0, triw0, bits0)
+            recs_out[0] = pack_rec(idx0, hit0, triw0, bits0)
 
         if not mc:
             # Plain Blinn-Phong (src/raytrace.h:205-218): direct for
             # shaded hits, black for parity triangles, background for
             # misses.
-            r_ref[...] = shades0f * d0r + miss0f * bg[0]
-            g_ref[...] = shades0f * d0g + miss0f * bg[1]
-            b_ref[...] = shades0f * d0b + miss0f * bg[2]
-            return
+            return (shades0f * d0r + miss0f * bg[0],
+                    shades0f * d0g + miss0f * bg[1],
+                    shades0f * d0b + miss0f * bg[2], recs_out)
 
         # MC combine (src/raytrace.h:213): l0 = direct/pi * diffuse.
         l0r = shades0f * (d0r / _PI * dif0[0]) + miss0f * bg[0]
@@ -591,10 +670,7 @@ def _build_kernel(
         l0b = shades0f * (d0b / _PI * dif0[2]) + miss0f * bg[2]
 
         if D <= 1:
-            r_ref[...] = l0r
-            g_ref[...] = l0g
-            b_ref[...] = l0b
-            return
+            return l0r, l0g, l0b, recs_out
 
         # ---- Monte-Carlo continuation paths ----------------------------
         # Hoisted per-sample state shared by all P paths: the primary
@@ -652,7 +728,9 @@ def _build_kernel(
                     Tb = (Tb[0] * (f * difb[0]) * shadesbf,
                           Tb[1] * (f * difb[1]) * shadesbf,
                           Tb[2] * (f * difb[2]) * shadesbf)
-                hitb, triwb, tb, idxb, shadesbf, missbf = nearest(ob3, db3)
+                slot = 1 + p * (D - 1) + (b - 1)
+                hitb, triwb, tb, idxb, shadesbf, missbf = nearest(
+                    slot, ob3, db3)
                 last = b == D - 1
                 need_geo = need_geo_final or not last
                 mb = gather_mat(idxb, triwb, need_geo)
@@ -661,16 +739,16 @@ def _build_kernel(
                     xb, nb = hit_geom(ob3, db3, tb, hitb, triwb, idxb,
                                       mb[n_sc:n_sc + 3])
                 if need_geo_final:
-                    dbr, dbg, dbb, bitsb = shade(xb, nb, ambb, difb, specb,
-                                                 powb)
+                    dbr, dbg, dbb, bitsb = shade(
+                        xb, nb, ambb, difb, specb, powb,
+                        rec=recs_in[slot] if replay else None)
                 else:
                     dbr = amb_s[0] * ambb[0]
                     dbg = amb_s[1] * ambb[1]
                     dbb = amb_s[2] * ambb[2]
                     bitsb = None
                 if emit_records:
-                    rec_ref[1 + p * (D - 1) + (b - 1), ...] = pack_rec(
-                        idxb, hitb, triwb, bitsb)
+                    recs_out[slot] = pack_rec(idxb, hitb, triwb, bitsb)
                 ar += Tb[0] * (shadesbf * (dbr / _PI * difb[0])
                                + missbf * bg[0])
                 ag += Tb[1] * (shadesbf * (dbg / _PI * difb[1])
@@ -688,12 +766,36 @@ def _build_kernel(
                 acc = path_body(p, acc)
             ar, ag, ab = acc
         else:
-            assert not emit_records, "records need static path slots"
+            assert not (emit_records or replay), (
+                "records need static path slots")
             ar, ag, ab = jax.lax.fori_loop(0, P, path_body, (zero, zero, zero))
         inv_p = np.float32(1.0 / P)
-        r_ref[...] = l0r + ar * inv_p
-        g_ref[...] = l0g + ag * inv_p
-        b_ref[...] = l0b + ab * inv_p
+        return (l0r + ar * inv_p, l0g + ag * inv_p, l0b + ab * inv_p,
+                recs_out)
+
+    return frame_math
+
+
+def _build_kernel(*, emit_records: bool = False, **static):
+    """Forward whole-frame kernel: thin ref-plumbing around
+    `_build_frame_math` (which see)."""
+    fm = _build_frame_math(emit_records=emit_records, **static)
+
+    def kernel(sph_ref, tri_ref, misc_ref, pl_ref, dl_ref, seed_ref, ids_ref,
+               xs_ref, ys_ref, cj_ref, ci_ref, r_ref, g_ref, b_ref,
+               *maybe_rec):
+        r, g, b, recs = fm(
+            (sph_ref, tri_ref, misc_ref, pl_ref, dl_ref),
+            (ids_ref[...], xs_ref[...], ys_ref[...], cj_ref[...],
+             ci_ref[...]),
+            seed_ref[0, 0],
+        )
+        r_ref[...] = r
+        g_ref[...] = g
+        b_ref[...] = b
+        if emit_records:
+            for k, rp in enumerate(recs):
+                maybe_rec[0][k, ...] = rp
 
     return kernel
 
@@ -705,33 +807,11 @@ def _n_records(cfg: RenderConfig) -> int:
     return 1 + cfg.paths_per_sample * (cfg.max_depth - 1)
 
 
-def _pathtrace_call(scene, cfg: RenderConfig, seed, sample_ids,
-                    with_records: bool = False):
-    """Pad, pack the scalar tables, and launch the whole-frame kernel.
-    Returns radiance [N, 3] for the given flat sample ids (plus the
-    packed [K, N] int32 hit records when with_records)."""
+def _pack_tables(scene):
+    """The five scalar tables the kernels read, as a PURE jnp function of
+    the scene pytree — differentiable, so the backward kernel's table
+    cotangents map back onto scene leaves via jax.vjp of this packing."""
     from skele_raytracer_tpu.ops.geometry import normalize
-
-    N = sample_ids.shape[0]
-    n_tiles = -(-N // TILE)
-    Np = n_tiles * TILE
-    ids = jnp.concatenate(
-        [sample_ids.astype(jnp.uint32),
-         jnp.zeros((Np - N,), jnp.uint32)]
-    )
-    spp = cfg.samples_per_pixel
-    pixel = (ids // jnp.uint32(spp)).astype(jnp.float32)
-    sample = (ids % jnp.uint32(spp)).astype(jnp.float32)
-    xs = jnp.mod(pixel, cfg.width)
-    ys = jnp.floor(pixel / cfg.width)
-    if cfg.grid_size > 0 and not cfg.quirks.diagonal_jitter:
-        ci = jnp.floor(sample / cfg.grid_size)
-        cj = jnp.mod(sample, cfg.grid_size)
-    else:
-        ci = cj = jnp.zeros_like(sample)
-
-    rows = Np // 128
-    plane = lambda a: a.reshape(rows, 128)
 
     sph_t, cam_t = scene.spheres, scene.camera
     S = sph_t.mask.shape[0]
@@ -752,8 +832,7 @@ def _pathtrace_call(scene, cfg: RenderConfig, seed, sample_ids,
     # MAX_TRIS; mesh scenes go through the culled kernels). Edges and the
     # unit geometric normal are precomputed; the kernel flips the normal
     # toward each ray.
-    tri_on = scene.has_triangles
-    if tri_on:
+    if scene.has_triangles:
         tr = scene.triangles
         e1 = tr.v1 - tr.v0
         e2 = tr.v2 - tr.v0
@@ -773,10 +852,6 @@ def _pathtrace_call(scene, cfg: RenderConfig, seed, sample_ids,
          scene.background, jnp.zeros((6,), jnp.float32)]
     )[None, :]
 
-    # Same static gate as ops/shading.direct_illumination: parity's zeroed
-    # fog reroutes (and so kills) the whole point-light block.
-    point_on = scene.has_point_lights and not (scene.has_fog and scene.fog_zeroed)
-    dir_on = scene.has_directional
     plt = scene.point_lights
     L = plt.mask.shape[0]
     pl_tab = jnp.concatenate(
@@ -789,21 +864,71 @@ def _pathtrace_call(scene, cfg: RenderConfig, seed, sample_ids,
         [normalize(dlt.direction), dlt.colour, dlt.mask[:, None],
          jnp.zeros((LD, 1), jnp.float32)], axis=1
     )
-    seed_arr = jnp.asarray(seed, jnp.uint32).reshape(1, 1)
+    return sph_tab, tri_tab, misc, pl_tab, dl_tab
 
+
+def _static_kernel_args(scene, cfg: RenderConfig) -> dict:
+    """The static configuration closed over both kernels."""
+    # Same static gate as ops/shading.direct_illumination: parity's zeroed
+    # fog reroutes (and so kills) the whole point-light block.
+    point_on = scene.has_point_lights and not (
+        scene.has_fog and scene.fog_zeroed
+    )
     # fov projection constant (ops/camera.py computes tan in f32 inside the
     # trace; the f64-then-round value here can differ by 1 ulp — covered by
     # the kernel-vs-jnp tolerance)
     angle = float(np.float32(np.tan(np.pi * 0.5 * cfg.fov / 180.0)))
-
-    kernel = _build_kernel(
-        S=S, T=tri_tab.shape[0], L=L, LD=LD,
-        sph_on=scene.has_spheres, tri_on=tri_on,
-        point_on=point_on, dir_on=dir_on,
+    return dict(
+        S=scene.spheres.mask.shape[0],
+        T=scene.triangles.mask.shape[0] if scene.has_triangles else 1,
+        L=scene.point_lights.mask.shape[0],
+        LD=scene.directional_lights.mask.shape[0],
+        sph_on=scene.has_spheres, tri_on=scene.has_triangles,
+        point_on=point_on, dir_on=scene.has_directional,
         use_shadows=cfg.use_shadows, mc=cfg.monte_carlo,
         P=cfg.paths_per_sample, D=cfg.max_depth, grid=cfg.grid_size,
-        width=cfg.width, height=cfg.height, angle=angle,
-        quirks=cfg.quirks, emit_records=with_records,
+        width=cfg.width, height=cfg.height, angle=angle, quirks=cfg.quirks,
+    )
+
+
+def _plane_inputs(cfg: RenderConfig, sample_ids):
+    """Pad the flat sample ids to whole tiles and derive the per-sample
+    pixel/jitter-cell planes both kernels consume."""
+    N = sample_ids.shape[0]
+    n_tiles = -(-N // TILE)
+    Np = n_tiles * TILE
+    ids = jnp.concatenate(
+        [sample_ids.astype(jnp.uint32),
+         jnp.zeros((Np - N,), jnp.uint32)]
+    )
+    spp = cfg.samples_per_pixel
+    pixel = (ids // jnp.uint32(spp)).astype(jnp.float32)
+    sample = (ids % jnp.uint32(spp)).astype(jnp.float32)
+    xs = jnp.mod(pixel, cfg.width)
+    ys = jnp.floor(pixel / cfg.width)
+    if cfg.grid_size > 0 and not cfg.quirks.diagonal_jitter:
+        ci = jnp.floor(sample / cfg.grid_size)
+        cj = jnp.mod(sample, cfg.grid_size)
+    else:
+        ci = cj = jnp.zeros_like(sample)
+    rows = Np // 128
+    plane = lambda a: a.reshape(rows, 128)
+    planes = (plane(ids), plane(xs), plane(ys), plane(cj), plane(ci))
+    return planes, n_tiles, rows, Np
+
+
+def _pathtrace_call(scene, cfg: RenderConfig, seed, sample_ids,
+                    with_records: bool = False):
+    """Pad, pack the scalar tables, and launch the whole-frame kernel.
+    Returns radiance [N, 3] for the given flat sample ids (plus the
+    packed [K, N] int32 hit records when with_records)."""
+    N = sample_ids.shape[0]
+    planes, n_tiles, rows, Np = _plane_inputs(cfg, sample_ids)
+    tabs = _pack_tables(scene)
+    seed_arr = jnp.asarray(seed, jnp.uint32).reshape(1, 1)
+
+    kernel = _build_kernel(
+        emit_records=with_records, **_static_kernel_args(scene, cfg)
     )
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -825,8 +950,7 @@ def _pathtrace_call(scene, cfg: RenderConfig, seed, sample_ids,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shapes),
         interpret=_interpret(),
-    )(sph_tab, tri_tab, misc, pl_tab, dl_tab, seed_arr,
-      plane(ids), plane(xs), plane(ys), plane(cj), plane(ci))
+    )(*tabs, seed_arr, *planes)
     r, g, b = out[0], out[1], out[2]
     radiance = jnp.stack(
         [r.reshape(Np), g.reshape(Np), b.reshape(Np)], axis=1
@@ -834,6 +958,86 @@ def _pathtrace_call(scene, cfg: RenderConfig, seed, sample_ids,
     if with_records:
         return radiance, out[3].reshape(-1, Np)[:, :N]
     return radiance
+
+
+def _build_backward_kernel(*, K: int, **static):
+    """Analytic in-kernel backward: per tile, jax.grad of the record-driven
+    replay (`_build_frame_math(replay=True)`) wrt the five scalar tables,
+    contracted against the incoming radiance cotangent planes and
+    accumulated into the gradient-table outputs across the sequential
+    grid. This is the 'backward reuses the forward's intersection
+    structure' contract executed entirely inside one Pallas kernel — no
+    per-bounce XLA replay chain, no [rays, spheres] scans."""
+    fm = _build_frame_math(replay=True, **static)
+
+    def kernel(seed_ref, ids_ref, xs_ref, ys_ref, cj_ref, ci_ref, rec_ref,
+               gr_ref, gg_ref, gb_ref,
+               sph_ref, tri_ref, misc_ref, pl_ref, dl_ref,
+               dsph_ref, dtri_ref, dmisc_ref, dpl_ref, ddl_ref):
+        planes = (ids_ref[...], xs_ref[...], ys_ref[...], cj_ref[...],
+                  ci_ref[...])
+        seed = seed_ref[0, 0]
+        recs = [rec_ref[k] for k in range(K)]
+        gr, gg, gb = gr_ref[...], gg_ref[...], gb_ref[...]
+
+        def loss(sph_t, tri_t, misc_t, pl_t, dl_t):
+            r, g, b, _ = fm((sph_t, tri_t, misc_t, pl_t, dl_t), planes,
+                            seed, recs_in=recs)
+            return jnp.sum(r * gr + g * gg + b * gb)
+
+        grads = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(
+            sph_ref[...], tri_ref[...], misc_ref[...], pl_ref[...],
+            dl_ref[...])
+        first = pl.program_id(0) == 0
+        for dref, dval in zip(
+            (dsph_ref, dtri_ref, dmisc_ref, dpl_ref, ddl_ref), grads
+        ):
+            prev = jnp.where(first, jnp.zeros_like(dval), dref[...])
+            dref[...] = prev + dval
+
+    return kernel
+
+
+def _backward_call(tabs, scene, cfg: RenderConfig, seed, sample_ids, rec, g):
+    """Launch the backward kernel; returns cotangents for the five tables.
+    `tabs` are the primal tables (from the jax.vjp over _pack_tables that
+    will map the result back to scene leaves); `rec` is the forward's
+    [K, N] packed hit records; `g` the [N, 3] radiance cotangent."""
+    N = sample_ids.shape[0]
+    planes, n_tiles, rows, Np = _plane_inputs(cfg, sample_ids)
+    K = rec.shape[0]
+    rec_p = jnp.concatenate(
+        [rec, jnp.zeros((K, Np - N), rec.dtype)], axis=1
+    ).reshape(K, rows, 128)
+    # Cotangent padding MUST be zero: pad lanes duplicate sample 0's
+    # compute and would otherwise contribute spurious gradients.
+    g_p = jnp.concatenate([g, jnp.zeros((Np - N, 3), g.dtype)], axis=0)
+    g_planes = tuple(g_p[:, c].reshape(rows, 128) for c in range(3))
+    seed_arr = jnp.asarray(seed, jnp.uint32).reshape(1, 1)
+
+    kernel = _build_backward_kernel(K=K, **_static_kernel_args(scene, cfg))
+
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    ray_spec = pl.BlockSpec((TILE_SUB, 128), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    rec_spec = pl.BlockSpec((K, TILE_SUB, 128), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+    acc_spec = lambda t: pl.BlockSpec(
+        t.shape, lambda i: tuple(0 for _ in t.shape),
+        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[smem, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
+                  rec_spec, ray_spec, ray_spec, ray_spec,
+                  vmem, vmem, vmem, vmem, vmem],
+        out_specs=tuple(acc_spec(t) for t in tabs),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct(t.shape, t.dtype) for t in tabs
+        ),
+        interpret=_interpret(),
+    )(seed_arr, *planes, rec_p, *g_planes, *tabs)
 
 
 def _f0(x):
@@ -1046,11 +1250,12 @@ def pathtrace_ids(scene, cfg: RenderConfig, seed, sample_ids):
     """Whole-frame kernel radiance [N, 3], differentiable.
 
     Forward: the Pallas megakernel (module docstring). Backward: the
-    kernel's saved per-bounce hit records drive `_replay_radiance` — the
-    backward pass reuses the forward's intersection structure instead of
-    re-intersecting. Configs whose records don't fit (`_can_replay`)
-    fall back to re-deriving everything through the jnp wavefront path,
-    whose estimator is identical."""
+    analytic in-kernel VJP (`_build_backward_kernel`) driven by the
+    forward's saved per-bounce hit records — the backward pass reuses
+    the forward's intersection structure instead of re-intersecting.
+    Configs whose records don't fit (`_can_replay`) fall back to
+    re-deriving everything through the jnp wavefront path, whose
+    estimator is identical."""
     sg = jax.lax.stop_gradient
     return _pathtrace_call(sg(scene), cfg, seed, sample_ids)
 
@@ -1074,11 +1279,14 @@ def _pt_bwd(cfg, res, g):
         _, vjp = jax.vjp(
             lambda s: render_ids_chunked_jnp(s, cfg, seed, sample_ids), scene
         )
-    else:
-        _, vjp = jax.vjp(
-            lambda s: _replay_chunked(s, cfg, seed, sample_ids, rec), scene
-        )
-    return vjp(g)[0], _f0(seed), _f0(sample_ids)
+        return vjp(g)[0], _f0(seed), _f0(sample_ids)
+    # Analytic in-kernel backward: one pallas_call replays shading from
+    # the saved hit structure under jax.grad and accumulates the scalar
+    # TABLE gradients per tile; jax.vjp of the (pure jnp) table packing
+    # then maps those cotangents back onto the scene leaves.
+    tabs, pack_vjp = jax.vjp(_pack_tables, scene)
+    d_tabs = _backward_call(tabs, scene, cfg, seed, sample_ids, rec, g)
+    return pack_vjp(d_tabs)[0], _f0(seed), _f0(sample_ids)
 
 
 pathtrace_ids.defvjp(_pt_fwd, _pt_bwd)
