@@ -54,6 +54,17 @@ GROUP_C = 4  # resident mode: shortlisted clusters per loop iteration.
 # test), so whole groups are gated on ANY ray entering ANY member.
 
 
+SUB_T = 1  # resident mode: ray subtiles processed per grid step.
+# After the footprint sort the tile-union shortlists are NARROW (dragon
+# bounce-1 chunks: mean 2.6 clusters per 256-ray tile, ~1 group
+# iteration), so the per-grid-step fixed cost — the small input/output
+# block DMAs and step turnaround, ~10 us — dominates the ~3-6 us of
+# group math. Packing SUB_T shortlist tiles into one grid step keeps
+# the 256-ray shortlist granularity (what the sort narrows) while
+# amortizing the step overhead 4x. Streaming (non-resident) launches
+# keep sub_t=1: their per-step cost is the cluster DMA chain itself.
+
+
 def _batched_launch(launch, order, counts, ent, feats):
     """Run a tile-grid kernel launch in <= MAX_TILES batches (lax.map).
 
@@ -115,15 +126,38 @@ def _culled_kernel(
     cs,
     resident,
     allow_negative,
+    sub_t=1,
 ):
-    i = pl.program_id(0)
+    C_total = lo_ref.shape[0]
+    tr = f_ref.shape[0] // sub_t  # rays per shortlist tile
+    for s in range(sub_t):
+        _culled_tile(
+            pl.program_id(0) * sub_t + s if sub_t > 1 else pl.program_id(0),
+            s * tr,
+            tr,
+            shortlist_ref, count_ref, ent_ref, f_ref, lo_ref, hi_ref,
+            kc_ref, aux_ref, t_ref, idx_ref, done_ref, kbuf, abuf, sems,
+            sign=sign, t_clip=t_clip, cs=cs, resident=resident,
+            allow_negative=allow_negative, C_total=C_total,
+        )
+
+
+def _culled_tile(
+    i,  # shortlist-tile index (grid step x sub_t + s)
+    r0,  # first ray row of this tile within the grid step's block
+    tr,  # rays per tile
+    shortlist_ref, count_ref, ent_ref, f_ref, lo_ref, hi_ref,
+    kc_ref, aux_ref, t_ref, idx_ref, done_ref, kbuf, abuf, sems,
+    *,
+    sign, t_clip, cs, resident, allow_negative, C_total,
+):
     n_active = count_ref[i]
-    feats = f_ref[:]
+    feats = f_ref[pl.ds(r0, tr), :]
     d = feats[:, 0:3]
     o = feats[:, 6:9]
 
-    t_ref[:, 0] = jnp.full((feats.shape[0],), _BIG, jnp.float32)
-    idx_ref[:, 0] = jnp.full((feats.shape[0],), _BIG_I, jnp.int32)
+    t_ref[pl.ds(r0, tr), 0] = jnp.full((tr,), _BIG, jnp.float32)
+    idx_ref[pl.ds(r0, tr), 0] = jnp.full((tr,), _BIG_I, jnp.int32)
     done_ref[0, 0] = 0
 
     def dma(slot, pos):
@@ -154,8 +188,6 @@ def _culled_kernel(
         rt0 = (root_lo - o) * inv_d
         rt1 = (root_hi - o) * inv_d
         texit = jnp.min(jnp.maximum(rt0, rt1), axis=1)  # [R]
-
-    C_total = lo_ref.shape[0]
 
     def body(p, _):
         # `resident` (static): cluster blocks live wholly in VMEM — read
@@ -189,7 +221,7 @@ def _culled_kernel(
         enter = tmin <= tmax
         if not allow_negative:
             enter = enter & (tmax > (t_clip or 0.0))
-        return enter & (tmin <= t_ref[:, 0])
+        return enter & (tmin <= t_ref[pl.ds(r0, tr), 0])
 
     def _mt_update(K, kof_blk, msk_blk, orig_row, width):
         """One Moller-Trumbore matmul over `width` packed triangle columns
@@ -248,11 +280,13 @@ def _culled_kernel(
         # which clusters happen to share the tile (tiling-dependent,
         # streaming-vs-resident-divergent). Gating on t_blk < _BIG keeps
         # miss rays at the deterministic _BIG_I sentinel.
-        better = (t_blk < t_ref[:, 0]) | (
-            (t_blk < _BIG) & (t_blk == t_ref[:, 0]) & (orig_blk < idx_ref[:, 0])
+        t_cur = t_ref[pl.ds(r0, tr), 0]
+        i_cur = idx_ref[pl.ds(r0, tr), 0]
+        better = (t_blk < t_cur) | (
+            (t_blk < _BIG) & (t_blk == t_cur) & (orig_blk < i_cur)
         )
-        t_ref[:, 0] = jnp.where(better, t_blk, t_ref[:, 0])
-        idx_ref[:, 0] = jnp.where(better, orig_blk, idx_ref[:, 0])
+        t_ref[pl.ds(r0, tr), 0] = jnp.where(better, t_blk, t_cur)
+        idx_ref[pl.ds(r0, tr), 0] = jnp.where(better, orig_blk, i_cur)
 
     def _culled_step(p):
         if not resident:
@@ -290,21 +324,21 @@ def _culled_kernel(
             shortlist_ref[i, jnp.minimum(base + g, C_total - 1)]
             for g in range(GROUP_C)
         ]
-        pend_any = _slab_pend(cis[0])
-        for ci in cis[1:]:
-            pend_any = pend_any | _slab_pend(ci)
-
-        @pl.when(jnp.any(pend_any))
-        def _():
-            K = jnp.concatenate(
-                [kc_ref[ci] for ci in cis], axis=2
-            ).reshape(9, 4 * GROUP_C * cs)
-            aux_g = jnp.concatenate([aux_ref[ci] for ci in cis], axis=1)
-            _mt_update(K, aux_g[0, :], aux_g[1, :], aux_g[2, :], GROUP_C * cs)
+        # No slab pretest, no any() gate: post-footprint-sort shortlists
+        # are so narrow (dragon bounce tiles: ~1 group) that the group is
+        # nearly always entered; the [tr,3] slab tests, the cross-lane
+        # any() reduction, and the @pl.when branch were pure fixed
+        # overhead on every iteration that fired anyway. The exact MT
+        # test subsumes the pretest for correctness.
+        K = jnp.concatenate(
+            [kc_ref[ci] for ci in cis], axis=2
+        ).reshape(9, 4 * GROUP_C * cs)
+        aux_g = jnp.concatenate([aux_ref[ci] for ci in cis], axis=1)
+        _mt_update(K, aux_g[0, :], aux_g[1, :], aux_g[2, :], GROUP_C * cs)
 
         # ent_ref is padded with _BIG past the shortlist; clamp the next
         # group's start into the [0, C] table.
-        settle = jnp.max(jnp.minimum(t_ref[:, 0], texit))
+        settle = jnp.max(jnp.minimum(t_ref[pl.ds(r0, tr), 0], texit))
         nxt_pos = jnp.minimum(base + GROUP_C, ent_ref.shape[1] - 1)
 
         @pl.when(ent_ref[i, nxt_pos] > settle)
@@ -468,7 +502,14 @@ def _culled_from_feats(feats, mesh: accel.ClusteredMesh, *, quirks: Quirks, live
     t_clip = None if quirks.reference_triangle_test else CLEAN_T_EPS
     C = mesh.n_clusters
     cs = mesh.v0.shape[0] // C  # cluster size baked into the mesh build
-    rp = -(-R // TILE_R) * TILE_R
+    from skele_raytracer_tpu.ops.pallas.megakernel import (
+        RESIDENT_BUDGET_BYTES,
+        mesh_resident_bytes,
+    )
+
+    resident = mesh_resident_bytes(C, cs) <= RESIDENT_BUDGET_BYTES
+    sub_t = SUB_T if resident else 1
+    rp = -(-R // (TILE_R * sub_t)) * TILE_R * sub_t
     n_tiles = rp // TILE_R
 
     # --- host-side (jnp) cull: per-tile cluster shortlist, ordered
@@ -510,21 +551,15 @@ def _culled_from_feats(feats, mesh: accel.ClusteredMesh, *, quirks: Quirks, live
     )  # [C, 3, cs]
     feats = _pad_rows(feats, rp, fill=1.0)
 
-    from skele_raytracer_tpu.ops.pallas.megakernel import (
-        RESIDENT_BUDGET_BYTES,
-        mesh_resident_bytes,
-    )
-
-    resident = mesh_resident_bytes(C, cs) <= RESIDENT_BUDGET_BYTES
     mesh_space = pltpu.VMEM if resident else pl.ANY
 
     def launch(order_b, counts_b, ent_b, feats_b):
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(order_b.shape[0],),
+            grid=(order_b.shape[0] // sub_t,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # ent [tiles, C+1]
-                pl.BlockSpec((TILE_R, 9), lambda i, *_: (i, 0),
+                pl.BlockSpec((TILE_R * sub_t, 9), lambda i, *_: (i, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # lo
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # hi
@@ -532,9 +567,9 @@ def _culled_from_feats(feats, mesh: accel.ClusteredMesh, *, quirks: Quirks, live
                 pl.BlockSpec(memory_space=mesh_space),
             ],
             out_specs=(
-                pl.BlockSpec((TILE_R, 1), lambda i, *_: (i, 0),
+                pl.BlockSpec((TILE_R * sub_t, 1), lambda i, *_: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((TILE_R, 1), lambda i, *_: (i, 0),
+                pl.BlockSpec((TILE_R * sub_t, 1), lambda i, *_: (i, 0),
                              memory_space=pltpu.VMEM),
             ),
             scratch_shapes=[
@@ -549,6 +584,7 @@ def _culled_from_feats(feats, mesh: accel.ClusteredMesh, *, quirks: Quirks, live
                 _culled_kernel, sign=sign, t_clip=t_clip, cs=cs,
                 resident=resident,
                 allow_negative=quirks.reference_triangle_test,
+                sub_t=sub_t,
             ),
             grid_spec=grid_spec,
             out_shape=(
@@ -599,6 +635,7 @@ def _occluded_kernel(
     t_clip,
     cs,
     resident,
+    sub_t=1,
 ):
     """ANY-hit variant of _culled_kernel for shadow queries (the
     reference's shadow() is a boolean scan, src/utils.h:42-76): no
@@ -606,14 +643,35 @@ def _occluded_kernel(
     occluded, and the whole tile stops at the first iteration that
     leaves every ray occluded — shadow rays terminate at the FIRST
     blocker instead of paying for the closest one."""
-    i = pl.program_id(0)
+    C_total = lo_ref.shape[0]
+    tr = fb_ref.shape[0] // sub_t
+    for s in range(sub_t):
+        _occ_tile(
+            pl.program_id(0) * sub_t + s if sub_t > 1 else pl.program_id(0),
+            s * tr,
+            tr,
+            shortlist_ref, count_ref, ent_ref, fb_ref, lo_ref, hi_ref,
+            kc_ref, aux_ref, occ_ref, done_ref, kbuf, abuf, sems,
+            sign=sign, t_clip=t_clip, cs=cs, resident=resident,
+            C_total=C_total,
+        )
+
+
+def _occ_tile(
+    i, r0, tr,
+    shortlist_ref, count_ref, ent_ref, fb_ref, lo_ref, hi_ref,
+    kc_ref, aux_ref, occ_ref, done_ref, kbuf, abuf, sems,
+    *,
+    sign, t_clip, cs, resident, C_total,
+):
     n_active = count_ref[i]
-    feats = fb_ref[:, 0:9]
-    bnd = fb_ref[:, 9]
+    fb = fb_ref[pl.ds(r0, tr), :]
+    feats = fb[:, 0:9]
+    bnd = fb[:, 9]
     d = feats[:, 0:3]
     o = feats[:, 6:9]
 
-    occ_ref[:, 0] = jnp.zeros((feats.shape[0],), jnp.float32)
+    occ_ref[pl.ds(r0, tr), 0] = jnp.zeros((tr,), jnp.float32)
     done_ref[0, 0] = 0
 
     def dma(slot, pos):
@@ -643,8 +701,6 @@ def _occluded_kernel(
             jnp.min(jnp.maximum(rt0, rt1), axis=1), bnd
         )  # [R]
 
-    C_total = lo_ref.shape[0]
-
     def body(p, _):
         if resident:
 
@@ -663,7 +719,7 @@ def _occluded_kernel(
         tmin = jnp.max(jnp.minimum(t0, t1), axis=1)
         tmax = jnp.min(jnp.maximum(t0, t1), axis=1)
         enter = (tmin <= tmax) & (tmax > t_clip) & (tmin < bnd)
-        return enter & (occ_ref[:, 0] < 0.5)
+        return enter & (occ_ref[pl.ds(r0, tr), 0] < 0.5)
 
     def _occ_update(K, kof_blk, msk_blk, width):
         prods = jax.lax.dot_general(
@@ -691,8 +747,9 @@ def _occluded_kernel(
             & (msk_blk[None, :] > 0)
             & (td > t_clip * det2) & (td < bnd[:, None] * det2)
         )
-        occ_ref[:, 0] = jnp.maximum(
-            occ_ref[:, 0], jnp.any(valid, axis=1).astype(jnp.float32)
+        occ_ref[pl.ds(r0, tr), 0] = jnp.maximum(
+            occ_ref[pl.ds(r0, tr), 0],
+            jnp.any(valid, axis=1).astype(jnp.float32),
         )
 
     def _occ_step(p):
@@ -740,10 +797,10 @@ def _occluded_kernel(
 
         # all occluded, or no later cluster can sit inside any ray's
         # remaining (t_clip, bnd) window
-        all_occ = jnp.min(occ_ref[:, 0]) > 0.5
+        all_occ = jnp.min(occ_ref[pl.ds(r0, tr), 0]) > 0.5
         nxt_pos = jnp.minimum(base + GROUP_C, ent_ref.shape[1] - 1)
         no_more = ent_ref[i, nxt_pos] > jnp.max(
-            jnp.where(occ_ref[:, 0] > 0.5, 0.0, texit)
+            jnp.where(occ_ref[pl.ds(r0, tr), 0] > 0.5, 0.0, texit)
         )
 
         @pl.when(all_occ | no_more)
@@ -808,7 +865,15 @@ def _occluded_from_fb(fb, mesh: accel.ClusteredMesh, *, quirks: Quirks, live=Non
     t_clip = 1.0 if quirks.near_clip_t_le_1 else CLEAN_T_EPS
     C = mesh.n_clusters
     cs = mesh.v0.shape[0] // C
-    rp = -(-R // TILE_R) * TILE_R
+
+    from skele_raytracer_tpu.ops.pallas.megakernel import (
+        RESIDENT_BUDGET_BYTES,
+        mesh_resident_bytes,
+    )
+
+    resident = mesh_resident_bytes(C, cs) <= RESIDENT_BUDGET_BYTES
+    sub_t = SUB_T if resident else 1
+    rp = -(-R // (TILE_R * sub_t)) * TILE_R * sub_t
     n_tiles = rp // TILE_R
 
     cull_lo, cull_hi = mesh.bounds(mirrored=quirks.reference_triangle_test)
@@ -842,21 +907,15 @@ def _occluded_from_fb(fb, mesh: accel.ClusteredMesh, *, quirks: Quirks, live=Non
     )
     fb_p = _pad_rows(fb, rp, fill=1.0)
 
-    from skele_raytracer_tpu.ops.pallas.megakernel import (
-        RESIDENT_BUDGET_BYTES,
-        mesh_resident_bytes,
-    )
-
-    resident = mesh_resident_bytes(C, cs) <= RESIDENT_BUDGET_BYTES
     mesh_space = pltpu.VMEM if resident else pl.ANY
 
     def launch(order_b, counts_b, ent_b, fb_b):
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(order_b.shape[0],),
+            grid=(order_b.shape[0] // sub_t,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # ent [tiles, C+1]
-                pl.BlockSpec((TILE_R, 10), lambda i, *_: (i, 0),
+                pl.BlockSpec((TILE_R * sub_t, 10), lambda i, *_: (i, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # lo
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # hi
@@ -864,7 +923,8 @@ def _occluded_from_fb(fb, mesh: accel.ClusteredMesh, *, quirks: Quirks, live=Non
                 pl.BlockSpec(memory_space=mesh_space),
             ],
             out_specs=pl.BlockSpec(
-                (TILE_R, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+                (TILE_R * sub_t, 1), lambda i, *_: (i, 0),
+                memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
                 pltpu.SMEM((1, 1), jnp.int32),
@@ -876,7 +936,7 @@ def _occluded_from_fb(fb, mesh: accel.ClusteredMesh, *, quirks: Quirks, live=Non
         return pl.pallas_call(
             functools.partial(
                 _occluded_kernel, sign=sign, t_clip=t_clip, cs=cs,
-                resident=resident,
+                resident=resident, sub_t=sub_t,
             ),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((fb_b.shape[0], 1), jnp.float32),
