@@ -130,7 +130,7 @@ def _normalize3(vx, vy, vz):
     return vx * inv, vy * inv, vz * inv, nn
 
 
-def _scan_spheres(o, d, sph, t_clip: float):
+def _scan_spheres(o, d, sph, t_clip: float, rows=None):
     """Nearest-sphere scan on component planes.
 
     o: 3-tuple of planes OR scalars (primary rays share one origin).
@@ -139,7 +139,18 @@ def _scan_spheres(o, d, sph, t_clip: float):
     (src/utils.h:87-121, src/raytrace.h:152-166) with comparisons done on
     the numerator -b - sqrt(disc) (the shared denominator 2a > 0 preserves
     order); t materializes once as num * (0.5/a).
-    Returns (hit bool, t, idx int32, a).
+    Returns (hit bool, t, idx int32, a) — plus the gathered `rows` when
+    given.
+
+    rows: optional per-sphere material scalars (list over spheres of
+    per-column lists). When given, the winner's row is gathered INSIDE
+    the argmin update — one select per column per sphere — instead of a
+    separate one-hot `_gather` pass (compare + convert + per-column
+    multiply-add per sphere) over the same table. Bit-identical: misses
+    keep row 0 exactly like _gather's bidx-init-0 convention, and a
+    select chain resolves to the same row the one-hot sum would. Saves
+    ~40% of the per-(ray,sphere) VPU ops at the lights-off headline
+    (16 spheres x 6-9 columns).
     """
     ox, oy, oz = o
     dx, dy, dz = d
@@ -148,6 +159,10 @@ def _scan_spheres(o, d, sph, t_clip: float):
     clipnum = (2.0 * t_clip) * a
     best = jnp.full(dx.shape, _BIG, jnp.float32)
     bidx = jnp.zeros(dx.shape, jnp.int32)
+    mats = None
+    if rows is not None:
+        zero = jnp.zeros(dx.shape, jnp.float32)
+        mats = [zero + v for v in rows[0]]
     for s, (cx, cy, cz, r2, msk) in enumerate(sph):
         ex, ey, ez = ox - cx, oy - cy, oz - cz
         b = 2.0 * (dx * ex + dy * ey + dz * ez)
@@ -160,9 +175,13 @@ def _scan_spheres(o, d, sph, t_clip: float):
         upd = valid & (num < best)
         best = jnp.where(upd, num, best)
         bidx = jnp.where(upd, s, bidx)
+        if rows is not None and s > 0:
+            mats = [jnp.where(upd, v, m) for v, m in zip(rows[s], mats)]
     hit = best < _BIG
     inv2a = 0.5 / a
     t = best * inv2a
+    if rows is not None:
+        return hit, t, bidx, a, mats
     return hit, t, bidx, a
 
 
@@ -520,14 +539,17 @@ def _build_frame_math(
                 rec = rec | bits
             return rec
 
-        def nearest(slot, o3, d3):
+        def nearest(slot, o3, d3, rows=None):
             """Combined nearest hit. Forward: geometry.intersect semantics
             (sphere scan, triangle scan, triangle wins on strictly smaller
             t). Replay: the saved record names the winner; only ITS t is
             recomputed — the selected sphere's quadratic / the selected
             triangle's Möller-Trumbore, O(1) per ray, differentiable wrt
             the primitive (the jnp replay's replay_hit, on planes).
-            Returns (hit_any, tri_wins|None, t, idx, shadesf, missf)."""
+            Returns (hit_any, tri_wins|None, t, idx, shadesf, missf,
+            mats|None) — mats is the winner's material row when `rows`
+            is given and the sphere-only fused-gather scan applies
+            (_scan_spheres rows docstring)."""
             if replay:
                 rec = recs_in[slot]
                 hit_any = ((rec >> 8) & 1) > 0
@@ -569,9 +591,14 @@ def _build_frame_math(
                 shades = sph_sel if (tri_on and tri_black) else hit_any
                 return (hit_any, tri_wins, t_sel, idx,
                         shades.astype(jnp.float32),
-                        1.0 - hit_any.astype(jnp.float32))
+                        1.0 - hit_any.astype(jnp.float32), None)
+            mats = None
             if sph:
-                s_hit, s_t, s_idx, _ = _scan_spheres(o3, d3, sph, t_clip)
+                if rows is not None and not tri_on:
+                    s_hit, s_t, s_idx, _, mats = _scan_spheres(
+                        o3, d3, sph, t_clip, rows=rows)
+                else:
+                    s_hit, s_t, s_idx, _ = _scan_spheres(o3, d3, sph, t_clip)
             else:
                 s_hit = jnp.zeros(d3[0].shape, bool)
                 s_t = jnp.full(d3[0].shape, _BIG, jnp.float32)
@@ -590,7 +617,7 @@ def _build_frame_math(
                 hit_any, t_sel, idx, shades = s_hit, s_t, s_idx, s_hit
             return (hit_any, tri_wins, t_sel, idx,
                     shades.astype(jnp.float32),
-                    1.0 - hit_any.astype(jnp.float32))
+                    1.0 - hit_any.astype(jnp.float32), mats)
 
         def gather_mat(idx, tri_wins, need_geo):
             """Material (+ sphere center when need_geo) at the winning
@@ -645,9 +672,9 @@ def _build_frame_math(
         if not quirks.unnormalized_ray_dirs:
             dx, dy, dz, _ = _normalize3(dx, dy, dz)
 
-        hit0, triw0, t0, idx0, shades0f, miss0f = nearest(
-            0, cam, (dx, dy, dz))
-        m0 = gather_mat(idx0, triw0, True)
+        hit0, triw0, t0, idx0, shades0f, miss0f, fm0 = nearest(
+            0, cam, (dx, dy, dz), rows=full_rows)
+        m0 = fm0 if fm0 is not None else gather_mat(idx0, triw0, True)
         amb0, dif0, spec0, pow0 = unpack(m0)
         cen0 = m0[n_sc:n_sc + 3]
         x0, n0 = hit_geom(cam, (dx, dy, dz), t0, hit0, triw0, idx0, cen0)
@@ -729,11 +756,13 @@ def _build_frame_math(
                           Tb[1] * (f * difb[1]) * shadesbf,
                           Tb[2] * (f * difb[2]) * shadesbf)
                 slot = 1 + p * (D - 1) + (b - 1)
-                hitb, triwb, tb, idxb, shadesbf, missbf = nearest(
-                    slot, ob3, db3)
                 last = b == D - 1
                 need_geo = need_geo_final or not last
-                mb = gather_mat(idxb, triwb, need_geo)
+                hitb, triwb, tb, idxb, shadesbf, missbf, fmb = nearest(
+                    slot, ob3, db3,
+                    rows=full_rows if need_geo else shade_rows)
+                mb = fmb if fmb is not None else gather_mat(
+                    idxb, triwb, need_geo)
                 ambb, difb, specb, powb = unpack(mb)
                 if need_geo:
                     xb, nb = hit_geom(ob3, db3, tb, hitb, triwb, idxb,
