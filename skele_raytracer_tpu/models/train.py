@@ -51,7 +51,14 @@ def full_loss(scene, cfg: RenderConfig, key, target):
     H, W, spp = cfg.height, cfg.width, cfg.samples_per_pixel
     ids = jnp.arange(H * W * spp, dtype=jnp.uint32)
     radiance = render_ids_chunked(scene, cfg, key, ids)
-    t = jnp.reshape(target, (H * W, 3))[(ids // spp).astype(jnp.int32)]
+    # ids is the full arange by construction, so each pixel's target
+    # repeats spp times in id order — a broadcast, NOT a row gather.
+    # (The gather form `target[(ids // spp)]` measured 9 ms of device
+    # time per step at 1080p: 1-D row gathers are sublane-serial on TPU
+    # and it was the single largest op in the training step.)
+    t = jnp.broadcast_to(
+        jnp.reshape(target, (H * W, 1, 3)), (H * W, spp, 3)
+    ).reshape(H * W * spp, 3)
     err = radiance - t
     return jnp.mean(err * err)
 

@@ -144,10 +144,20 @@ def loss_and_grad_sharded(scene, cfg: RenderConfig, key, target, mesh: Mesh):
     n_total = H * W * spp
     n_shards = mesh.devices.size
     ids, _ = _pad_ids(n_total, n_shards)
-    # Target value for each ray id: its pixel's target (clipped for padding;
-    # padded rays are masked out of the loss anyway).
-    pix = jnp.minimum((ids // spp).astype(jnp.int32), H * W - 1)
-    tflat = jnp.reshape(target, (H * W, 3))[pix]
+    # Target value for each ray id: ids are the padded arange, so each
+    # pixel's target repeats spp times in order — a broadcast, not a row
+    # gather (gathers are sublane-serial on TPU; see train.full_loss).
+    # Padding rows repeat the last pixel (the old clipped-gather value);
+    # they are masked out of the loss anyway.
+    t2 = jnp.reshape(target, (H * W, 3))
+    tflat = jnp.broadcast_to(t2[:, None, :], (H * W, spp, 3)).reshape(
+        n_total, 3
+    )
+    pad = ids.shape[0] - n_total
+    if pad:
+        tflat = jnp.concatenate(
+            [tflat, jnp.broadcast_to(t2[-1][None, :], (pad, 3))], axis=0
+        )
 
     def body(scene_r, key_r, ids_shard, t_shard):
         loss, g = jax.value_and_grad(_local_loss)(
