@@ -141,6 +141,12 @@ def _shade_hit(scene, cfg: RenderConfig, key, o, d, ids, bounce, live=None):
     direct = direct_illumination(
         hits.point, hits.normal, scene, mat, prim_center, cfg, fog_u,
         live=live_sh,
+        # Shadow batches of bounce waves (the calls that pass `live` —
+        # bounce is a traced scan index, so it can't gate this statically)
+        # originate at hemisphere-sampled hit points: incoherent, like the
+        # bounce wave that produced them — the culled occlusion kernel
+        # routes them to the fine clustering.
+        incoherent=live is not None,
     )
 
     shades = kind == 1

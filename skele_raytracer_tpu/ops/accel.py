@@ -29,10 +29,22 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
-CLUSTER_SIZE = 256  # triangles per cluster (one VMEM-friendly block).
+CLUSTER_SIZE = 256  # triangles per cluster for COHERENT batches.
 # Dragon sweep with the in-kernel front-to-back slab pretest: 256 beats
-# 128 (per-cluster loop overhead dominates the finer pruning) and ties
-# 512 while keeping the megakernel's shadow sweep granular.
+# 128 for primary/shadow tiles (deep front-to-back shortlists; coarse
+# clusters keep the iteration count low and the early exit effective).
+
+FINE_CLUSTER_SIZE = 128  # triangles per cluster for INCOHERENT waves.
+# The culled kernels' MXU cost is the TESTED triangle count =
+# sum over tiles of ceil(shortlist/G)*G*cs, and the K=9 contraction pads
+# 14x on the MXU, so wasted columns dominate. For footprint-sorted
+# bounce/shadow waves (narrow shortlists, mean ~2.6 clusters/tile),
+# halving the cluster barely widens shortlists (2.62 -> 2.88) while
+# halving the group round-up waste: launch-isolated dragon bounce chunk
+# 5.93 -> 4.70 ms (group_c=2), bitwise-identical results. Applied
+# frame-wide it REGRESSES the coherent paths (clean shadows
+# 0.18 -> 0.37 s), so scenes carry BOTH clusterings and the integrator
+# routes each wave to the matching one (scene/types.py, geometry.py).
 
 
 def _morton3(x: np.ndarray) -> np.ndarray:

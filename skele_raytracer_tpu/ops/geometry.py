@@ -274,9 +274,22 @@ def intersect(o, d, scene, *, quirks: Quirks, backend: str = "jnp", live=None) -
             if scene.clusters is not None and scene.clusters.n_clusters > 4:
                 from skele_raytracer_tpu.ops.pallas import culled
 
+                # Bounce waves (the callers that pass `live`) carry
+                # footprint-sorted tiles whose mean shortlist is ~2.6
+                # clusters: route them to the FINE clustering with a
+                # 2-cluster group — the culled kernel's MXU cost is the
+                # tested-triangle count, and both knobs halve the group
+                # round-up waste (dragon bounce chunk 7.35 -> 4.70 ms,
+                # bitwise-identical). Coherent primaries keep the coarse
+                # clustering + wide group (deep front-to-back shortlists).
+                incoherent = live is not None
+                mesh = (scene.clusters_fine
+                        if incoherent and scene.clusters_fine is not None
+                        else scene.clusters)
                 t_t, t_idx, t_hit = culled.triangle_nearest_culled(
-                    o_k, d_k, sg(scene.clusters), quirks=quirks,
+                    o_k, d_k, sg(mesh), quirks=quirks,
                     live=None if live is None else sg(live),
+                    group_c=2 if incoherent else None,
                 )
             else:
                 from skele_raytracer_tpu.ops.pallas import intersect as pk

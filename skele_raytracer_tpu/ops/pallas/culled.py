@@ -77,22 +77,28 @@ def _batched_launch(launch, order, counts, ent, feats):
     program (static MAX_TILES grid).
     """
     n_tiles = order.shape[0]
-    if n_tiles <= MAX_TILES:
+    # The per-launch SMEM footprint is ~(shortlist + ent) = tiles*(8*C+8)
+    # bytes against the ~1 MB scalar memory; cap the batch so fine
+    # clusterings (large C) of big meshes shrink the grid instead of
+    # crashing the compiler.
+    C = order.shape[1]
+    max_tiles = max(64, min(MAX_TILES, (700 * 1024) // (8 * C + 8)))
+    if n_tiles <= max_tiles:
         return launch(order, counts, ent, feats)
-    k = -(-n_tiles // MAX_TILES)
-    pad_t = k * MAX_TILES - n_tiles
+    k = -(-n_tiles // max_tiles)
+    pad_t = k * max_tiles - n_tiles
     xs = (
-        jnp.pad(order, ((0, pad_t), (0, 0))).reshape(k, MAX_TILES, -1),
-        jnp.pad(counts, (0, pad_t)).reshape(k, MAX_TILES),
+        jnp.pad(order, ((0, pad_t), (0, 0))).reshape(k, max_tiles, -1),
+        jnp.pad(counts, (0, pad_t)).reshape(k, max_tiles),
         jnp.pad(ent, ((0, pad_t), (0, 0)), constant_values=_BIG)
-        .reshape(k, MAX_TILES, -1),
+        .reshape(k, max_tiles, -1),
         jnp.pad(feats, ((0, pad_t * TILE_R), (0, 0)), constant_values=1.0)
-        .reshape(k, MAX_TILES * TILE_R, -1),
+        .reshape(k, max_tiles * TILE_R, -1),
     )
     outs = jax.lax.map(lambda a: launch(*a), xs)
 
     def crop(y):
-        return y.reshape(k * MAX_TILES * TILE_R, -1)[: n_tiles * TILE_R]
+        return y.reshape(k * max_tiles * TILE_R, -1)[: n_tiles * TILE_R]
 
     if isinstance(outs, tuple):
         return tuple(crop(y) for y in outs)
@@ -127,6 +133,7 @@ def _culled_kernel(
     resident,
     allow_negative,
     sub_t=1,
+    group_c=GROUP_C,
 ):
     C_total = lo_ref.shape[0]
     tr = f_ref.shape[0] // sub_t  # rays per shortlist tile
@@ -139,6 +146,7 @@ def _culled_kernel(
             kc_ref, aux_ref, t_ref, idx_ref, done_ref, kbuf, abuf, sems,
             sign=sign, t_clip=t_clip, cs=cs, resident=resident,
             allow_negative=allow_negative, C_total=C_total,
+            group_c=group_c,
         )
 
 
@@ -149,7 +157,7 @@ def _culled_tile(
     shortlist_ref, count_ref, ent_ref, f_ref, lo_ref, hi_ref,
     kc_ref, aux_ref, t_ref, idx_ref, done_ref, kbuf, abuf, sems,
     *,
-    sign, t_clip, cs, resident, allow_negative, C_total,
+    sign, t_clip, cs, resident, allow_negative, C_total, group_c=GROUP_C,
 ):
     n_active = count_ref[i]
     feats = f_ref[pl.ds(r0, tr), :]
@@ -314,15 +322,15 @@ def _culled_tile(
                 )
             return 0
 
-        # Resident: one iteration covers GROUP_C shortlist positions.
+        # Resident: one iteration covers group_c shortlist positions.
         # Positions past n_active hold the argsort tail (clusters no ray
         # enters — their pretests fail and their triangles cannot pass MT),
         # and the final clamp duplicates the last cluster, which only
         # re-derives identical hits; both are harmless.
-        base = p * GROUP_C
+        base = p * group_c
         cis = [
             shortlist_ref[i, jnp.minimum(base + g, C_total - 1)]
-            for g in range(GROUP_C)
+            for g in range(group_c)
         ]
         # No slab pretest, no any() gate: post-footprint-sort shortlists
         # are so narrow (dragon bounce tiles: ~1 group) that the group is
@@ -332,14 +340,14 @@ def _culled_tile(
         # test subsumes the pretest for correctness.
         K = jnp.concatenate(
             [kc_ref[ci] for ci in cis], axis=2
-        ).reshape(9, 4 * GROUP_C * cs)
+        ).reshape(9, 4 * group_c * cs)
         aux_g = jnp.concatenate([aux_ref[ci] for ci in cis], axis=1)
-        _mt_update(K, aux_g[0, :], aux_g[1, :], aux_g[2, :], GROUP_C * cs)
+        _mt_update(K, aux_g[0, :], aux_g[1, :], aux_g[2, :], group_c * cs)
 
         # ent_ref is padded with _BIG past the shortlist; clamp the next
         # group's start into the [0, C] table.
         settle = jnp.max(jnp.minimum(t_ref[pl.ds(r0, tr), 0], texit))
-        nxt_pos = jnp.minimum(base + GROUP_C, ent_ref.shape[1] - 1)
+        nxt_pos = jnp.minimum(base + group_c, ent_ref.shape[1] - 1)
 
         @pl.when(ent_ref[i, nxt_pos] > settle)
         def _():
@@ -348,7 +356,7 @@ def _culled_tile(
         return 0
 
     if resident:
-        n_iters = (n_active + GROUP_C - 1) // GROUP_C
+        n_iters = (n_active + group_c - 1) // group_c
     else:
         n_iters = n_active
     jax.lax.fori_loop(0, n_iters, body, 0)
@@ -437,7 +445,7 @@ def _spatial_sort_keys(o, d, lo, hi):
 
 def triangle_nearest_culled(
     o, d, mesh: accel.ClusteredMesh, *, quirks: Quirks, reorder: bool = True,
-    live=None,
+    live=None, group_c=None,
 ):
     """(t [R], original_index [R] int32, hit [R] bool) — nearest triangle
     via cluster culling. Semantics match the brute-force kernels to float
@@ -479,7 +487,7 @@ def triangle_nearest_culled(
         if live is not None:
             live_s = (keys_s != jnp.uint32(0xFFFFFFFF)).astype(jnp.float32)
         t, idx, hit = _culled_from_feats(
-            feats[order_r], mesh, quirks=quirks, live=live_s
+            feats[order_r], mesh, quirks=quirks, live=live_s, group_c=group_c
         )
         # Unsort by sorting on the forward permutation — measured cheaper
         # than a row scatter on TPU (sort-with-payloads ~1.1 ms vs scatter
@@ -488,10 +496,11 @@ def triangle_nearest_culled(
             (order_r, t, idx, hit.astype(jnp.int32)), dimension=0, num_keys=1
         )
         return t_o, idx_o, hit_o > 0
-    return _culled_from_feats(feats, mesh, quirks=quirks, live=live)
+    return _culled_from_feats(feats, mesh, quirks=quirks, live=live, group_c=group_c)
 
 
-def _culled_from_feats(feats, mesh: accel.ClusteredMesh, *, quirks: Quirks, live=None):
+def _culled_from_feats(feats, mesh: accel.ClusteredMesh, *, quirks: Quirks, live=None,
+                       group_c=None):
     """Kernel dispatch on precomputed ray features [R, 9] (columns: d,
     o x d, o — intersect.ray_features layout, which both the MT matmul and
     the slab pretest consume)."""
@@ -585,6 +594,7 @@ def _culled_from_feats(feats, mesh: accel.ClusteredMesh, *, quirks: Quirks, live
                 resident=resident,
                 allow_negative=quirks.reference_triangle_test,
                 sub_t=sub_t,
+                group_c=GROUP_C if group_c is None else group_c,
             ),
             grid_spec=grid_spec,
             out_shape=(
@@ -636,6 +646,7 @@ def _occluded_kernel(
     cs,
     resident,
     sub_t=1,
+    group_c=GROUP_C,
 ):
     """ANY-hit variant of _culled_kernel for shadow queries (the
     reference's shadow() is a boolean scan, src/utils.h:42-76): no
@@ -653,7 +664,7 @@ def _occluded_kernel(
             shortlist_ref, count_ref, ent_ref, fb_ref, lo_ref, hi_ref,
             kc_ref, aux_ref, occ_ref, done_ref, kbuf, abuf, sems,
             sign=sign, t_clip=t_clip, cs=cs, resident=resident,
-            C_total=C_total,
+            C_total=C_total, group_c=group_c,
         )
 
 
@@ -662,7 +673,7 @@ def _occ_tile(
     shortlist_ref, count_ref, ent_ref, fb_ref, lo_ref, hi_ref,
     kc_ref, aux_ref, occ_ref, done_ref, kbuf, abuf, sems,
     *,
-    sign, t_clip, cs, resident, C_total,
+    sign, t_clip, cs, resident, C_total, group_c=GROUP_C,
 ):
     n_active = count_ref[i]
     fb = fb_ref[pl.ds(r0, tr), :]
@@ -776,12 +787,12 @@ def _occ_tile(
                 )
             return 0
 
-        # Resident: GROUP_C shortlist positions per iteration (see
+        # Resident: group_c shortlist positions per iteration (see
         # _culled_kernel — tail/clamped clusters cannot produce MT hits).
-        base = p * GROUP_C
+        base = p * group_c
         cis = [
             shortlist_ref[i, jnp.minimum(base + g, C_total - 1)]
-            for g in range(GROUP_C)
+            for g in range(group_c)
         ]
         pend_any = _slab_pend(cis[0])
         for ci in cis[1:]:
@@ -791,14 +802,14 @@ def _occ_tile(
         def _():
             K = jnp.concatenate(
                 [kc_ref[ci] for ci in cis], axis=2
-            ).reshape(9, 4 * GROUP_C * cs)
+            ).reshape(9, 4 * group_c * cs)
             aux_g = jnp.concatenate([aux_ref[ci] for ci in cis], axis=1)
-            _occ_update(K, aux_g[0, :], aux_g[1, :], GROUP_C * cs)
+            _occ_update(K, aux_g[0, :], aux_g[1, :], group_c * cs)
 
         # all occluded, or no later cluster can sit inside any ray's
         # remaining (t_clip, bnd) window
         all_occ = jnp.min(occ_ref[pl.ds(r0, tr), 0]) > 0.5
-        nxt_pos = jnp.minimum(base + GROUP_C, ent_ref.shape[1] - 1)
+        nxt_pos = jnp.minimum(base + group_c, ent_ref.shape[1] - 1)
         no_more = ent_ref[i, nxt_pos] > jnp.max(
             jnp.where(occ_ref[pl.ds(r0, tr), 0] > 0.5, 0.0, texit)
         )
@@ -810,7 +821,7 @@ def _occ_tile(
         return 0
 
     if resident:
-        n_iters = (n_active + GROUP_C - 1) // GROUP_C
+        n_iters = (n_active + group_c - 1) // group_c
     else:
         n_iters = n_active
     jax.lax.fori_loop(0, n_iters, body, 0)
@@ -818,7 +829,7 @@ def _occ_tile(
 
 def triangle_occluded(
     o, d, mesh: accel.ClusteredMesh, *, quirks: Quirks, t_max=None,
-    live=None, reorder: bool = True,
+    live=None, reorder: bool = True, group_c=None,
 ):
     """[R] bool — is ANY triangle strictly between t_clip and t_max along
     each ray?  The shadow-query form of the culled kernel (clean-mode
@@ -848,15 +859,18 @@ def triangle_occluded(
         live_s = None
         if live is not None:
             live_s = (keys_s != jnp.uint32(0xFFFFFFFF)).astype(jnp.float32)
-        occ = _occluded_from_fb(fb[order_r], mesh, quirks=quirks, live=live_s)
+        occ = _occluded_from_fb(
+            fb[order_r], mesh, quirks=quirks, live=live_s, group_c=group_c
+        )
         _, occ_o = jax.lax.sort(
             (order_r, occ.astype(jnp.int32)), dimension=0, num_keys=1
         )
         return occ_o > 0
-    return _occluded_from_fb(fb, mesh, quirks=quirks, live=live)
+    return _occluded_from_fb(fb, mesh, quirks=quirks, live=live, group_c=group_c)
 
 
-def _occluded_from_fb(fb, mesh: accel.ClusteredMesh, *, quirks: Quirks, live=None):
+def _occluded_from_fb(fb, mesh: accel.ClusteredMesh, *, quirks: Quirks, live=None,
+                      group_c=None):
     R = fb.shape[0]
     d = fb[:, 0:3]
     o = fb[:, 6:9]
@@ -937,6 +951,7 @@ def _occluded_from_fb(fb, mesh: accel.ClusteredMesh, *, quirks: Quirks, live=Non
             functools.partial(
                 _occluded_kernel, sign=sign, t_clip=t_clip, cs=cs,
                 resident=resident, sub_t=sub_t,
+                group_c=GROUP_C if group_c is None else group_c,
             ),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((fb_b.shape[0], 1), jnp.float32),

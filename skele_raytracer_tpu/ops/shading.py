@@ -116,7 +116,8 @@ def gather_material(scene, kind, index, *, quirks: Quirks) -> GatheredMaterial:
     return _unpack_material(vals)
 
 
-def _shadow_mask(x, normal, scene, cfg: RenderConfig, l_vec, light_dist=None, live=None):
+def _shadow_mask(x, normal, scene, cfg: RenderConfig, l_vec, light_dist=None, live=None,
+                 incoherent=False):
     """not-shadowed mask [R, L] for shadow rays from x toward each light.
 
     Replicates `shadow()` (src/utils.h:42-76): origin offset is the scalar
@@ -178,10 +179,19 @@ def _shadow_mask(x, normal, scene, cfg: RenderConfig, l_vec, light_dist=None, li
                 from skele_raytracer_tpu.ops.pallas import culled
 
                 sg = _jax.lax.stop_gradient
+                # Bounce-wave shadow batches share the bounce waves'
+                # narrow footprint-sorted shortlists: fine clustering +
+                # 2-cluster groups (see geometry.intersect). Primary
+                # shadow batches are COHERENT (surface points toward one
+                # light) and keep the coarse clustering + wide group.
+                mesh = (scene.clusters_fine
+                        if incoherent and scene.clusters_fine is not None
+                        else scene.clusters)
                 occ_tri = culled.triangle_occluded(
-                    sg(origin), sg(direction), sg(scene.clusters), quirks=quirks,
+                    sg(origin), sg(direction), sg(mesh), quirks=quirks,
                     t_max=sg(light_dist[:, l]) if bound else None,
                     live=None if live is None else sg(live),
+                    group_c=2 if incoherent else None,
                 )
                 occ = occ | occ_tri
             else:
@@ -239,7 +249,8 @@ def _fog_term(scene, mat, prim_center, l, x, n, light_pos, light_col, fog_u):
 
 
 def direct_illumination(
-    x, n, scene, mat, prim_center, cfg: RenderConfig, fog_u=None, live=None
+    x, n, scene, mat, prim_center, cfg: RenderConfig, fog_u=None, live=None,
+    incoherent=False,
 ):
     """ambient + diffuse + specular at the hit points — the REACHABLE body
     of the reference's direct_illumination (src/raytrace.h:36-44; the
@@ -269,7 +280,8 @@ def direct_illumination(
         l = l_vec / jnp.maximum(d_l, 1e-30)[:, :, None]
         lmask = plights.mask[None, :]  # [1, L]
         if cfg.use_shadows:
-            unshadowed = _shadow_mask(x, n, scene, cfg, l_vec, light_dist=d_l, live=live)
+            unshadowed = _shadow_mask(x, n, scene, cfg, l_vec, light_dist=d_l,
+                                      live=live, incoherent=incoherent)
         else:
             unshadowed = jnp.ones_like(d_l, bool)
         gate = lmask * unshadowed  # [R, L]
@@ -310,7 +322,8 @@ def direct_illumination(
         ld = jnp.broadcast_to(ld, (x.shape[0],) + ld.shape[1:])
         dmask = dlights.mask[None, :]
         if cfg.use_shadows:
-            unshadowed_d = _shadow_mask(x, n, scene, cfg, ld, light_dist=None, live=live)
+            unshadowed_d = _shadow_mask(x, n, scene, cfg, ld, light_dist=None,
+                                        live=live, incoherent=incoherent)
         else:
             unshadowed_d = jnp.ones((x.shape[0], dlights.mask.shape[0]), bool)
         gate_d = dmask * unshadowed_d

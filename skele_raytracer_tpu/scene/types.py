@@ -169,6 +169,12 @@ class Scene:
     # triangles. Not a trainable view: gradients flow through the primary
     # `triangles` arrays (the jnp backend); these are render-only data.
     clusters: Optional[tuple] = None
+    # Second clustering at accel.FINE_CLUSTER_SIZE for INCOHERENT ray
+    # waves (footprint-sorted bounce/shadow batches): finer clusters
+    # halve the culled kernels' group round-up waste there while the
+    # coarse clustering stays optimal for coherent primaries
+    # (accel.FINE_CLUSTER_SIZE rationale). None when `clusters` is None.
+    clusters_fine: Optional[tuple] = None
 
     @property
     def has_fog(self) -> bool:
@@ -208,7 +214,11 @@ def refresh_clusters(scene: Scene) -> Scene:
 
     t = scene.triangles
     return scene.replace(
-        clusters=accel.build_clusters(t.v0, t.v1, t.v2, t.mask)
+        clusters=accel.build_clusters(t.v0, t.v1, t.v2, t.mask),
+        clusters_fine=accel.build_clusters(
+            t.v0, t.v1, t.v2, t.mask,
+            cluster_size=accel.FINE_CLUSTER_SIZE,
+        ),
     )
 
 
@@ -271,12 +281,16 @@ def make_scene(
     sph = build(spheres, dict(center=3, radius=1, **mat_fields), ns)
     tri = build(triangles, dict(v0=3, v1=3, v2=3, **mat_fields), nt)
 
-    clusters = None
+    clusters = clusters_fine = None
     if triangles:
         from skele_raytracer_tpu.ops import accel
 
         clusters = accel.build_clusters(
             tri["v0"], tri["v1"], tri["v2"], tri["mask"]
+        )
+        clusters_fine = accel.build_clusters(
+            tri["v0"], tri["v1"], tri["v2"], tri["mask"],
+            cluster_size=accel.FINE_CLUSTER_SIZE,
         )
     pl = build(point_lights, dict(position=3, colour=3), nl)
     dl = build(directional_lights, dict(direction=3, colour=3), nd)
@@ -303,4 +317,5 @@ def make_scene(
         spheres_active=len(spheres) > 0,
         fog_zeroed=fog_zeroed,
         clusters=clusters,
+        clusters_fine=clusters_fine,
     )
