@@ -209,6 +209,37 @@ def replay_triangle_t(o, d, tris, index):
     return dot(e2, q) * inv
 
 
+@jax.custom_vjp
+def _replay_t_or_kernel(o, d, tris, idx_f, t_kernel):
+    """t for each ray's selected triangle: the KERNEL's value forward, the
+    replay formula's gradient backward.
+
+    A pure forward render never materializes the replay recompute (three
+    [R] vertex gathers + the Möller-Trumbore chain — ~1.5 ms per dragon
+    gillum16 chunk); under AD the backward evaluates the replay VJP at
+    the same hit structure, which is exactly what differentiating the
+    replay primal would do (the <=1-ulp primal difference between kernel
+    t and replay t does not enter the backward formula)."""
+    return t_kernel
+
+
+def _replay_t_fwd(o, d, tris, idx_f, t_kernel):
+    return t_kernel, (o, d, tris, idx_f)
+
+
+def _replay_t_bwd(res, ct):
+    o, d, tris, idx_f = res
+    index = idx_f.astype(jnp.int32)
+    _, vjp = jax.vjp(
+        lambda o_, d_, tr: replay_triangle_t(o_, d_, tr, index), o, d, tris
+    )
+    do, dd, dtr = vjp(ct)
+    return do, dd, dtr, jnp.zeros_like(idx_f), jnp.zeros_like(ct)
+
+
+_replay_t_or_kernel.defvjp(_replay_t_fwd, _replay_t_bwd)
+
+
 class Hits(NamedTuple):
     """Combined nearest-hit record for a ray batch.
 
@@ -290,6 +321,10 @@ def intersect(o, d, scene, *, quirks: Quirks, backend: str = "jnp", live=None) -
                     o_k, d_k, sg(mesh), quirks=quirks,
                     live=None if live is None else sg(live),
                     group_c=2 if incoherent else None,
+                    # bf16x3 matmul on the incoherent wave: identical hit
+                    # records, t <= 4e-5 relative off, half the MXU time
+                    # (culled._mt_products).
+                    mt_passes=3 if incoherent else 6,
                 )
             else:
                 from skele_raytracer_tpu.ops.pallas import intersect as pk
@@ -301,8 +336,14 @@ def intersect(o, d, scene, *, quirks: Quirks, backend: str = "jnp", live=None) -
                 )
             t_u = t_v = jnp.zeros_like(t_t)  # barycentrics unused downstream
             tri = TriangleHits(t=t_t, index=t_idx, hit=t_hit, u=t_u, v=t_v)
+            # Kernel t forward, replay-formula gradient backward: a pure
+            # render skips the replay recompute entirely.
             tri_t_diff = jnp.where(
-                t_hit, replay_triangle_t(o, d, scene.triangles, t_idx), INF
+                t_hit,
+                _replay_t_or_kernel(
+                    o, d, scene.triangles, t_idx.astype(jnp.float32), t_t
+                ),
+                INF,
             )
         else:
             tri = nearest_triangle(

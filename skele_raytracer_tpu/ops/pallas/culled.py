@@ -105,6 +105,35 @@ def _batched_launch(launch, order, counts, ent, feats):
     return crop(outs)
 
 
+def _mt_products(feats, K, width, passes):
+    """[R, 4, width] Moller-Trumbore plane products.
+
+    passes=6: full-f32 MXU matmul (Precision.HIGHEST) — bitwise anchor.
+    passes=3: bf16x3 with the lo*lo term dropped — halves the MXU time
+    (the K=9 contraction pads 14x, so the matmul dominates the culled
+    kernels). Measured on the dragon bounce wave: identical hit records
+    and winning indices, t perturbed <= 4e-5 relative on 2.8% of rays —
+    used only for incoherent (bounce/shadow) waves, never on the
+    parity-golden-facing coherent path.
+    """
+    dims = (((1,), (0,)), ((), ()))
+    if passes == 3:
+        f_hi = feats.astype(jnp.bfloat16)
+        f_lo = (feats - f_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        K_hi = K.astype(jnp.bfloat16)
+        K_lo = (K - K_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        dg = lambda a, b: jax.lax.dot_general(
+            a, b, dims, preferred_element_type=jnp.float32)
+        prods = dg(f_hi, K_hi) + (dg(f_hi, K_lo) + dg(f_lo, K_hi))
+    else:
+        prods = jax.lax.dot_general(
+            feats, K, dims,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    return prods.reshape(-1, 4, width)
+
+
 def _culled_kernel(
     # scalar prefetch
     shortlist_ref,  # [n_tiles, C] int32
@@ -134,6 +163,7 @@ def _culled_kernel(
     allow_negative,
     sub_t=1,
     group_c=GROUP_C,
+    mt_passes=6,
 ):
     C_total = lo_ref.shape[0]
     tr = f_ref.shape[0] // sub_t  # rays per shortlist tile
@@ -146,7 +176,7 @@ def _culled_kernel(
             kc_ref, aux_ref, t_ref, idx_ref, done_ref, kbuf, abuf, sems,
             sign=sign, t_clip=t_clip, cs=cs, resident=resident,
             allow_negative=allow_negative, C_total=C_total,
-            group_c=group_c,
+            group_c=group_c, mt_passes=mt_passes,
         )
 
 
@@ -158,6 +188,7 @@ def _culled_tile(
     kc_ref, aux_ref, t_ref, idx_ref, done_ref, kbuf, abuf, sems,
     *,
     sign, t_clip, cs, resident, allow_negative, C_total, group_c=GROUP_C,
+    mt_passes=6,
 ):
     n_active = count_ref[i]
     feats = f_ref[pl.ds(r0, tr), :]
@@ -242,11 +273,7 @@ def _culled_tile(
         det^2 would only overflow for scene scales (~1e19) where f32 MT
         is already unusable. t still pays one unguarded reciprocal
         (IEEE inf/nan lanes are masked by `valid`)."""
-        prods = jax.lax.dot_general(
-            feats, K, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        ).reshape(-1, 4, width)
+        prods = _mt_products(feats, K, width, mt_passes)
         det = prods[:, 0, :]
         u_num = sign * prods[:, 1, :]
         v_num = prods[:, 2, :]
@@ -445,7 +472,7 @@ def _spatial_sort_keys(o, d, lo, hi):
 
 def triangle_nearest_culled(
     o, d, mesh: accel.ClusteredMesh, *, quirks: Quirks, reorder: bool = True,
-    live=None, group_c=None,
+    live=None, group_c=None, mt_passes=6,
 ):
     """(t [R], original_index [R] int32, hit [R] bool) — nearest triangle
     via cluster culling. Semantics match the brute-force kernels to float
@@ -487,7 +514,8 @@ def triangle_nearest_culled(
         if live is not None:
             live_s = (keys_s != jnp.uint32(0xFFFFFFFF)).astype(jnp.float32)
         t, idx, hit = _culled_from_feats(
-            feats[order_r], mesh, quirks=quirks, live=live_s, group_c=group_c
+            feats[order_r], mesh, quirks=quirks, live=live_s, group_c=group_c,
+            mt_passes=mt_passes,
         )
         # Unsort by sorting on the forward permutation — measured cheaper
         # than a row scatter on TPU (sort-with-payloads ~1.1 ms vs scatter
@@ -496,11 +524,12 @@ def triangle_nearest_culled(
             (order_r, t, idx, hit.astype(jnp.int32)), dimension=0, num_keys=1
         )
         return t_o, idx_o, hit_o > 0
-    return _culled_from_feats(feats, mesh, quirks=quirks, live=live, group_c=group_c)
+    return _culled_from_feats(feats, mesh, quirks=quirks, live=live,
+                              group_c=group_c, mt_passes=mt_passes)
 
 
 def _culled_from_feats(feats, mesh: accel.ClusteredMesh, *, quirks: Quirks, live=None,
-                       group_c=None):
+                       group_c=None, mt_passes=6):
     """Kernel dispatch on precomputed ray features [R, 9] (columns: d,
     o x d, o — intersect.ray_features layout, which both the MT matmul and
     the slab pretest consume)."""
@@ -595,6 +624,7 @@ def _culled_from_feats(feats, mesh: accel.ClusteredMesh, *, quirks: Quirks, live
                 allow_negative=quirks.reference_triangle_test,
                 sub_t=sub_t,
                 group_c=GROUP_C if group_c is None else group_c,
+                mt_passes=mt_passes,
             ),
             grid_spec=grid_spec,
             out_shape=(
@@ -647,6 +677,7 @@ def _occluded_kernel(
     resident,
     sub_t=1,
     group_c=GROUP_C,
+    mt_passes=6,
 ):
     """ANY-hit variant of _culled_kernel for shadow queries (the
     reference's shadow() is a boolean scan, src/utils.h:42-76): no
@@ -664,7 +695,7 @@ def _occluded_kernel(
             shortlist_ref, count_ref, ent_ref, fb_ref, lo_ref, hi_ref,
             kc_ref, aux_ref, occ_ref, done_ref, kbuf, abuf, sems,
             sign=sign, t_clip=t_clip, cs=cs, resident=resident,
-            C_total=C_total, group_c=group_c,
+            C_total=C_total, group_c=group_c, mt_passes=mt_passes,
         )
 
 
@@ -673,7 +704,7 @@ def _occ_tile(
     shortlist_ref, count_ref, ent_ref, fb_ref, lo_ref, hi_ref,
     kc_ref, aux_ref, occ_ref, done_ref, kbuf, abuf, sems,
     *,
-    sign, t_clip, cs, resident, C_total, group_c=GROUP_C,
+    sign, t_clip, cs, resident, C_total, group_c=GROUP_C, mt_passes=6,
 ):
     n_active = count_ref[i]
     fb = fb_ref[pl.ds(r0, tr), :]
@@ -733,11 +764,7 @@ def _occ_tile(
         return enter & (occ_ref[pl.ds(r0, tr), 0] < 0.5)
 
     def _occ_update(K, kof_blk, msk_blk, width):
-        prods = jax.lax.dot_general(
-            feats, K, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        ).reshape(-1, 4, width)
+        prods = _mt_products(feats, K, width, mt_passes)
         det = prods[:, 0, :]
         u_num = sign * prods[:, 1, :]
         v_num = prods[:, 2, :]
@@ -829,7 +856,7 @@ def _occ_tile(
 
 def triangle_occluded(
     o, d, mesh: accel.ClusteredMesh, *, quirks: Quirks, t_max=None,
-    live=None, reorder: bool = True, group_c=None,
+    live=None, reorder: bool = True, group_c=None, mt_passes=6,
 ):
     """[R] bool — is ANY triangle strictly between t_clip and t_max along
     each ray?  The shadow-query form of the culled kernel (clean-mode
@@ -860,17 +887,19 @@ def triangle_occluded(
         if live is not None:
             live_s = (keys_s != jnp.uint32(0xFFFFFFFF)).astype(jnp.float32)
         occ = _occluded_from_fb(
-            fb[order_r], mesh, quirks=quirks, live=live_s, group_c=group_c
+            fb[order_r], mesh, quirks=quirks, live=live_s, group_c=group_c,
+            mt_passes=mt_passes,
         )
         _, occ_o = jax.lax.sort(
             (order_r, occ.astype(jnp.int32)), dimension=0, num_keys=1
         )
         return occ_o > 0
-    return _occluded_from_fb(fb, mesh, quirks=quirks, live=live, group_c=group_c)
+    return _occluded_from_fb(fb, mesh, quirks=quirks, live=live,
+                             group_c=group_c, mt_passes=mt_passes)
 
 
 def _occluded_from_fb(fb, mesh: accel.ClusteredMesh, *, quirks: Quirks, live=None,
-                      group_c=None):
+                      group_c=None, mt_passes=6):
     R = fb.shape[0]
     d = fb[:, 0:3]
     o = fb[:, 6:9]
@@ -952,6 +981,7 @@ def _occluded_from_fb(fb, mesh: accel.ClusteredMesh, *, quirks: Quirks, live=Non
                 _occluded_kernel, sign=sign, t_clip=t_clip, cs=cs,
                 resident=resident, sub_t=sub_t,
                 group_c=GROUP_C if group_c is None else group_c,
+                mt_passes=mt_passes,
             ),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((fb_b.shape[0], 1), jnp.float32),

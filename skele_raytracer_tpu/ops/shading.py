@@ -192,6 +192,7 @@ def _shadow_mask(x, normal, scene, cfg: RenderConfig, l_vec, light_dist=None, li
                     t_max=sg(light_dist[:, l]) if bound else None,
                     live=None if live is None else sg(live),
                     group_c=2 if incoherent else None,
+                    mt_passes=3 if incoherent else 6,
                 )
                 occ = occ | occ_tri
             else:

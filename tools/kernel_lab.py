@@ -38,7 +38,7 @@ from skele_raytracer_tpu.ops import accel
 TILE_R = 256
 
 
-def build_batch(cluster_size=None, tile_r=TILE_R):
+def build_batch(cluster_size=128, tile_r=TILE_R):
     cfg = RenderConfig(width=640, height=480, max_depth=2, use_shadows=True,
                        monte_carlo=True, num_paths=16, backend="pallas",
                        rays_per_chunk=1 << 17, quirks=CLEAN)
@@ -176,7 +176,7 @@ def variant(name):
 def _lab_kernel(shortlist_ref, count_ref, ent_ref, f_ref, lo_ref, hi_ref,
                 kc_ref, aux_ref, t_ref, idx_ref,
                 *, cs, group_c, gate_settle, row_major, thin_epilogue,
-                carry_regs):
+                carry_regs, no_early_exit=False, passes=6):
     i = pl.program_id(0)
     n_active = count_ref[i]
     feats = f_ref[...]
@@ -194,11 +194,22 @@ def _lab_kernel(shortlist_ref, count_ref, ent_ref, f_ref, lo_ref, hi_ref,
     n_iters = (n_active + group_c - 1) // group_c
 
     def mt(K, kof_blk, msk_blk, orig_row, width, t_cur, i_cur):
-        prods = jax.lax.dot_general(
-            feats, K, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        ).reshape(-1, 4, width)
+        if passes == 3:
+            f_hi = feats.astype(jnp.bfloat16)
+            f_lo = (feats - f_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            K_hi = K.astype(jnp.bfloat16)
+            K_lo = (K - K_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            dims = (((1,), (0,)), ((), ()))
+            dg = lambda a, b: jax.lax.dot_general(
+                a, b, dims, preferred_element_type=jnp.float32)
+            prods = (dg(f_hi, K_hi) + (dg(f_hi, K_lo) + dg(f_lo, K_hi))
+                     ).reshape(-1, 4, width)
+        else:
+            prods = jax.lax.dot_general(
+                feats, K, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            ).reshape(-1, 4, width)
         det = prods[:, 0, :]
         u_num = -prods[:, 1, :]
         v_num = prods[:, 2, :]
@@ -252,7 +263,12 @@ def _lab_kernel(shortlist_ref, count_ref, ent_ref, f_ref, lo_ref, hi_ref,
     t0 = jnp.full((tr,), _BIG, jnp.float32)
     i0 = jnp.full((tr,), _BIG_I, jnp.int32)
 
-    if carry_regs:
+    if no_early_exit:
+        def body(p, carry):
+            t_cur, i_cur = carry
+            return step(p, t_cur, i_cur)
+        t_f, i_f = jax.lax.fori_loop(0, n_iters, body, (t0, i0))
+    elif carry_regs:
         def body(p, carry):
             t_cur, i_cur, done = carry
 
@@ -277,6 +293,8 @@ def _lab_kernel(shortlist_ref, count_ref, ent_ref, f_ref, lo_ref, hi_ref,
         t_f, i_f, _ = jax.lax.fori_loop(0, n_iters, body, (t0, i0, 0))
     else:
         t_f, i_f = t0, i0  # not implemented without carries in the lab
+    if no_early_exit:
+        pass
 
     if row_major:
         t_ref[...] = t_f.reshape(t_ref.shape)
@@ -287,7 +305,7 @@ def _lab_kernel(shortlist_ref, count_ref, ent_ref, f_ref, lo_ref, hi_ref,
 
 
 def launch_lab(B, *, group_c=2, gate_settle=True, row_major=True,
-               thin_epilogue=False):
+               thin_epilogue=False, no_early_exit=False, passes=6):
     cs = B["cs"]
     n_tiles = B["order"].shape[0]
     R = B["feats"].shape[0]
@@ -320,7 +338,8 @@ def launch_lab(B, *, group_c=2, gate_settle=True, row_major=True,
         return pl.pallas_call(
             functools.partial(_lab_kernel, cs=cs, group_c=group_c,
                               gate_settle=gate_settle, row_major=row_major,
-                              thin_epilogue=thin_epilogue, carry_regs=True),
+                              thin_epilogue=thin_epilogue, carry_regs=True,
+                              no_early_exit=no_early_exit, passes=passes),
             grid_spec=grid_spec, out_shape=out_shape,
         )(order_b, counts_b, ent_b, feats_b,
           B["lo"], B["hi"], B["kc"], B["aux"])
@@ -339,6 +358,12 @@ VARIANTS["lab_gate"] = lambda B: launch_lab(
     B, gate_settle=True, row_major=False, thin_epilogue=False)
 VARIANTS["lab_thin"] = lambda B: launch_lab(
     B, gate_settle=True, row_major=False, thin_epilogue=True)
+VARIANTS["lab_noexit"] = lambda B: launch_lab(
+    B, gate_settle=False, row_major=False, no_early_exit=True)
+VARIANTS["lab_3pass"] = lambda B: launch_lab(
+    B, gate_settle=False, row_major=False, passes=3)
+VARIANTS["lab_3pass_noexit"] = lambda B: launch_lab(
+    B, gate_settle=False, row_major=False, passes=3, no_early_exit=True)
 
 
 def main():
