@@ -151,6 +151,44 @@ def _shadow_mask(x, normal, scene, cfg: RenderConfig, l_vec, light_dist=None, li
         and scene.clusters.n_clusters > 4
     )
 
+    # Mesh-scale occlusion: the [R, T] broadcast would OOM on dragon-sized
+    # meshes; the culled ANY-HIT kernel streams clusters and stops each
+    # tile at its first blocker. Occlusion is a binary gate (no gradient
+    # in the reference semantics), so the forward-only kernel gets
+    # gradient-free inputs — backend="pallas" stays fully differentiable
+    # end to end. ALL lights ride ONE kernel call ([L*R] rays): measured
+    # neutral at dragon's L=2 (occlusion cost is linear in rays), but it
+    # pays the per-call sort + cull-table fixed cost once instead of L
+    # times, which matters as the light count grows.
+    occ_tri_all = None
+    if not quirks.sphere_only_shadows and scene.has_triangles and use_culled:
+        import jax as _jax
+
+        from skele_raytracer_tpu.ops.pallas import culled
+
+        sg = _jax.lax.stop_gradient
+        # Bounce-wave shadow batches share the bounce waves' narrow
+        # footprint-sorted shortlists: fine clustering + 2-cluster
+        # groups (see geometry.intersect). Primary shadow batches are
+        # COHERENT (surface points toward one light) and keep the
+        # coarse clustering + wide group.
+        mesh = (scene.clusters_fine
+                if incoherent and scene.clusters_fine is not None
+                else scene.clusters)
+        dirs = normalize(jnp.swapaxes(l_vec, 0, 1).reshape(L * R, 3))
+        org = jnp.broadcast_to(origin[None], (L, R, 3)).reshape(L * R, 3)
+        tmax = (jnp.swapaxes(light_dist, 0, 1).reshape(L * R)
+                if bound else None)
+        lv = (None if live is None
+              else jnp.broadcast_to(sg(live)[None], (L, R)).reshape(L * R))
+        occ_tri_all = culled.triangle_occluded(
+            sg(org), sg(dirs), sg(mesh), quirks=quirks,
+            t_max=None if tmax is None else sg(tmax),
+            live=lv,
+            group_c=2 if incoherent else None,
+            mt_passes=3 if incoherent else 6,
+        ).reshape(L, R)
+
     cols = []
     for l in range(L):
         direction = normalize(l_vec[:, l, :])
@@ -167,34 +205,7 @@ def _shadow_mask(x, normal, scene, cfg: RenderConfig, l_vec, light_dist=None, li
             occ = jnp.zeros((R,), bool)
         if not quirks.sphere_only_shadows and scene.has_triangles:
             if use_culled:
-                # Mesh-scale occlusion: the [R, T] broadcast would OOM on
-                # dragon-sized meshes; the culled ANY-HIT kernel streams
-                # clusters and stops each tile at its first blocker.
-                # Occlusion is a binary gate (no gradient in the reference
-                # semantics), so the forward-only kernel gets
-                # gradient-free inputs — backend="pallas" stays fully
-                # differentiable end to end.
-                import jax as _jax
-
-                from skele_raytracer_tpu.ops.pallas import culled
-
-                sg = _jax.lax.stop_gradient
-                # Bounce-wave shadow batches share the bounce waves'
-                # narrow footprint-sorted shortlists: fine clustering +
-                # 2-cluster groups (see geometry.intersect). Primary
-                # shadow batches are COHERENT (surface points toward one
-                # light) and keep the coarse clustering + wide group.
-                mesh = (scene.clusters_fine
-                        if incoherent and scene.clusters_fine is not None
-                        else scene.clusters)
-                occ_tri = culled.triangle_occluded(
-                    sg(origin), sg(direction), sg(mesh), quirks=quirks,
-                    t_max=sg(light_dist[:, l]) if bound else None,
-                    live=None if live is None else sg(live),
-                    group_c=2 if incoherent else None,
-                    mt_passes=3 if incoherent else 6,
-                )
-                occ = occ | occ_tri
+                occ = occ | occ_tri_all[l]
             else:
                 t_tri, ok, _, _ = ray_triangle_all(
                     origin, direction, scene.triangles.v0, scene.triangles.v1,
