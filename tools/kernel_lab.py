@@ -453,5 +453,265 @@ def cs_sweep():
             print(f"  cs={csz} tr={tr_} G={g}  {_time_run(run):8.3f} ms device  [{ok}]")
 
 
+
+
+# --- flat-kc variant: [C, 9, 4*cs] plane-major blocks, no in-kernel relayout
+
+def _flat_kernel(shortlist_ref, count_ref, ent_ref, f_ref, lo_ref, hi_ref,
+                 kcf_ref, auxf_ref, t_ref, idx_ref,
+                 *, cs, group_c, passes):
+    i = pl.program_id(0)
+    n_active = count_ref[i]
+    feats = f_ref[...]
+    d = feats[:, 0:3]
+    o = feats[:, 6:9]
+    tr = TILE_R
+
+    inv_d = 1.0 / jnp.where(jnp.abs(d) > 1e-30, d, 1e-30)
+    root_lo = jnp.min(lo_ref[:], axis=0)[None, :]
+    root_hi = jnp.max(hi_ref[:], axis=0)[None, :]
+    rt0 = (root_lo - o) * inv_d
+    rt1 = (root_hi - o) * inv_d
+    texit = jnp.min(jnp.maximum(rt0, rt1), axis=1)
+
+    n_iters = (n_active + group_c - 1) // group_c
+
+    feats16 = jnp.concatenate(
+        [feats, jnp.zeros((tr, 7), feats.dtype)], axis=1)  # [tr, 16]
+
+    def mt(K_list, aux_list, t_cur, i_cur):
+        # K_list: per-group [16, 4*cs] plane-major (det|u|v|t blocks of
+        # cs; rows 9..15 are zero padding for tile-aligned dynamic reads)
+        K = jnp.concatenate(K_list, axis=1)  # lane concat: [16, G*4*cs]
+        if passes == 3:
+            f_hi = feats16.astype(jnp.bfloat16)
+            f_lo = (feats16 - f_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            K_hi = K.astype(jnp.bfloat16)
+            K_lo = (K - K_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            dims = (((1,), (0,)), ((), ()))
+            dg = lambda a, b: jax.lax.dot_general(
+                a, b, dims, preferred_element_type=jnp.float32)
+            prods = dg(f_hi, K_hi) + (dg(f_hi, K_lo) + dg(f_lo, K_hi))
+        else:
+            prods = jax.lax.dot_general(
+                feats16, K, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+        # per-group contiguous lane slices, then lane concat per plane
+        G = len(K_list)
+        det = jnp.concatenate([prods[:, g*4*cs + 0*cs: g*4*cs + 1*cs] for g in range(G)], axis=1)
+        u_num = -jnp.concatenate([prods[:, g*4*cs + 1*cs: g*4*cs + 2*cs] for g in range(G)], axis=1)
+        v_num = jnp.concatenate([prods[:, g*4*cs + 2*cs: g*4*cs + 3*cs] for g in range(G)], axis=1)
+        t_raw = jnp.concatenate([prods[:, g*4*cs + 3*cs: g*4*cs + 4*cs] for g in range(G)], axis=1)
+        kof = jnp.concatenate([a[0, :] for a in aux_list], axis=0)
+        msk = jnp.concatenate([a[1, :] for a in aux_list], axis=0)
+        orig = jnp.concatenate([a[2, :] for a in aux_list], axis=0)
+        t_num = t_raw - kof[None, :]
+        ok = jnp.abs(det) >= TRIANGLE_DET_EPS
+        det2 = det * det
+        valid = (ok & (u_num * det >= 0) & (v_num * det >= 0)
+                 & ((u_num + v_num) * det <= det2) & (msk[None, :] > 0))
+        t = t_num / jnp.where(ok, det, 1.0)
+        valid = valid & (t > CLEAN_T_EPS)
+        t_all = jnp.where(valid, t, _BIG)
+        t_blk = jnp.min(t_all, axis=1)
+        is_min = t_all == t_blk[:, None]
+        orig_blk = jnp.min(
+            jnp.where(is_min, orig[None, :], jnp.float32(_BIG_I)), axis=1
+        ).astype(jnp.int32)
+        better = (t_blk < t_cur) | (
+            (t_blk < _BIG) & (t_blk == t_cur) & (orig_blk < i_cur))
+        return jnp.where(better, t_blk, t_cur), jnp.where(better, orig_blk, i_cur)
+
+    def body(p, carry):
+        t_cur, i_cur, done = carry
+
+        def live_fn(_):
+            base = p * group_c
+            cis = [shortlist_ref[i, jnp.minimum(base + g, kcf_ref.shape[0] - 1)]
+                   for g in range(group_c)]
+            t_n, i_n = mt([kcf_ref[ci] for ci in cis],
+                          [auxf_ref[ci] for ci in cis], t_cur, i_cur)
+            settle = jnp.max(jnp.minimum(t_n, texit))
+            nxt = jnp.minimum((p + 1) * group_c, ent_ref.shape[1] - 1)
+            d_n = jnp.where(ent_ref[i, nxt] > settle, 1, done)
+            return t_n, i_n, d_n
+
+        return jax.lax.cond(done == 0, live_fn,
+                            lambda _: (t_cur, i_cur, done), 0)
+
+    t0 = jnp.full((tr,), _BIG, jnp.float32)
+    i0 = jnp.full((tr,), _BIG_I, jnp.int32)
+    t_f, i_f, _ = jax.lax.fori_loop(0, n_iters, body, (t0, i0, 0))
+    t_ref[...] = t_f[:, None]
+    idx_ref[...] = i_f[:, None]
+
+
+def launch_flat(B, *, group_c=2, passes=6):
+    cs = B["cs"]
+    n_tiles = B["order"].shape[0]
+    R = B["feats"].shape[0]
+    C = B["C"]
+    # plane-major flat blocks: [C, 9, 4*cs] with columns [det(cs)|u|v|t]
+    kcf = B["kc"].reshape(C, 9, 4, cs)
+    kcf = jnp.concatenate([kcf[:, :, p_, :] for p_ in range(4)], axis=2)  # [C,9,4*cs]
+    kcf = jnp.concatenate(
+        [kcf, jnp.zeros((C, 7, 4 * cs), kcf.dtype)], axis=1)  # [C,16,4*cs]
+    auxf = B["aux"]
+
+    def launch(order_b, counts_b, ent_b, feats_b):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2, grid=(n_tiles,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec((TILE_R, 9), lambda i, *_: (i, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=(pl.BlockSpec((TILE_R, 1), lambda i, *_: (i, 0),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((TILE_R, 1), lambda i, *_: (i, 0),
+                                    memory_space=pltpu.VMEM)))
+        return pl.pallas_call(
+            functools.partial(_flat_kernel, cs=cs, group_c=group_c,
+                              passes=passes),
+            grid_spec=grid_spec,
+            out_shape=(jax.ShapeDtypeStruct((R, 1), jnp.float32),
+                       jax.ShapeDtypeStruct((R, 1), jnp.int32)),
+        )(order_b, counts_b, ent_b, feats_b,
+          B["lo"], B["hi"], kcf, auxf)
+
+    def run(i=None):
+        f = B["feats"] if i is None else B["feats"] * (1 + 1e-9 * i)
+        t, idx = launch(B["order"], B["counts"], B["ent"], f)
+        return t[:, 0], idx[:, 0]
+
+    return run
+
+
+VARIANTS["flat_g2"] = lambda B: launch_flat(B, group_c=2, passes=6)
+VARIANTS["flat_g2_3p"] = lambda B: launch_flat(B, group_c=2, passes=3)
+VARIANTS["flat_g4_3p"] = lambda B: launch_flat(B, group_c=4, passes=3)
+
+
+
+
+# --- presplit variant: kc hi/lo bf16 passed as inputs, old layout -------
+
+def _presplit_kernel(shortlist_ref, count_ref, ent_ref, f_ref, lo_ref, hi_ref,
+                     kh_ref, kl_ref, aux_ref, t_ref, idx_ref,
+                     *, cs, group_c):
+    i = pl.program_id(0)
+    n_active = count_ref[i]
+    feats = f_ref[...]
+    d = feats[:, 0:3]
+    o = feats[:, 6:9]
+    tr = TILE_R
+    f_hi = feats.astype(jnp.bfloat16)
+    f_lo = (feats - f_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    inv_d = 1.0 / jnp.where(jnp.abs(d) > 1e-30, d, 1e-30)
+    root_lo = jnp.min(lo_ref[:], axis=0)[None, :]
+    root_hi = jnp.max(hi_ref[:], axis=0)[None, :]
+    texit = jnp.min(jnp.maximum((root_lo - o) * inv_d,
+                                (root_hi - o) * inv_d), axis=1)
+    n_iters = (n_active + group_c - 1) // group_c
+    dims = (((1,), (0,)), ((), ()))
+
+    def body(p, carry):
+        t_cur, i_cur, done = carry
+
+        def live(_):
+            base = p * group_c
+            cis = [shortlist_ref[i, jnp.minimum(base + g, kh_ref.shape[0] - 1)]
+                   for g in range(group_c)]
+            width = group_c * cs
+            Kh = jnp.concatenate([kh_ref[ci] for ci in cis], axis=2
+                                 ).reshape(9, 4 * width)
+            Kl = jnp.concatenate([kl_ref[ci] for ci in cis], axis=2
+                                 ).reshape(9, 4 * width)
+            aux_g = jnp.concatenate([aux_ref[ci] for ci in cis], axis=1)
+            dg = lambda a, b: jax.lax.dot_general(
+                a, b, dims, preferred_element_type=jnp.float32)
+            prods = (dg(f_hi, Kh) + (dg(f_hi, Kl) + dg(f_lo, Kh))
+                     ).reshape(-1, 4, width)
+            det = prods[:, 0, :]
+            u_num = -prods[:, 1, :]
+            v_num = prods[:, 2, :]
+            t_num = prods[:, 3, :] - aux_g[0, :][None, :]
+            ok = jnp.abs(det) >= TRIANGLE_DET_EPS
+            det2 = det * det
+            valid = (ok & (u_num * det >= 0) & (v_num * det >= 0)
+                     & ((u_num + v_num) * det <= det2)
+                     & (aux_g[1, :][None, :] > 0))
+            t = t_num / jnp.where(ok, det, 1.0)
+            valid = valid & (t > CLEAN_T_EPS)
+            t_all = jnp.where(valid, t, _BIG)
+            t_blk = jnp.min(t_all, axis=1)
+            is_min = t_all == t_blk[:, None]
+            orig_blk = jnp.min(
+                jnp.where(is_min, aux_g[2, :][None, :], jnp.float32(_BIG_I)),
+                axis=1).astype(jnp.int32)
+            better = (t_blk < t_cur) | (
+                (t_blk < _BIG) & (t_blk == t_cur) & (orig_blk < i_cur))
+            t_n = jnp.where(better, t_blk, t_cur)
+            i_n = jnp.where(better, orig_blk, i_cur)
+            settle = jnp.max(jnp.minimum(t_n, texit))
+            nxt = jnp.minimum((p + 1) * group_c, ent_ref.shape[1] - 1)
+            return t_n, i_n, jnp.where(ent_ref[i, nxt] > settle, 1, done)
+
+        return jax.lax.cond(done == 0, live,
+                            lambda _: (t_cur, i_cur, done), 0)
+
+    t0 = jnp.full((tr,), _BIG, jnp.float32)
+    i0 = jnp.full((tr,), _BIG_I, jnp.int32)
+    t_f, i_f, _ = jax.lax.fori_loop(0, n_iters, body, (t0, i0, 0))
+    t_ref[...] = t_f[:, None]
+    idx_ref[...] = i_f[:, None]
+
+
+def launch_presplit(B, *, group_c=2):
+    cs = B["cs"]
+    n_tiles = B["order"].shape[0]
+    R = B["feats"].shape[0]
+    kc = B["kc"]
+    kh = kc.astype(jnp.bfloat16)
+    kl = (kc - kh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def launch(order_b, counts_b, ent_b, feats_b):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2, grid=(n_tiles,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      pl.BlockSpec((TILE_R, 9), lambda i, *_: (i, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=(pl.BlockSpec((TILE_R, 1), lambda i, *_: (i, 0),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((TILE_R, 1), lambda i, *_: (i, 0),
+                                    memory_space=pltpu.VMEM)))
+        return pl.pallas_call(
+            functools.partial(_presplit_kernel, cs=cs, group_c=group_c),
+            grid_spec=grid_spec,
+            out_shape=(jax.ShapeDtypeStruct((R, 1), jnp.float32),
+                       jax.ShapeDtypeStruct((R, 1), jnp.int32)),
+        )(order_b, counts_b, ent_b, feats_b,
+          B["lo"], B["hi"], kh, kl, B["aux"])
+
+    def run(i=None):
+        f = B["feats"] if i is None else B["feats"] * (1 + 1e-9 * i)
+        t, idx = launch(B["order"], B["counts"], B["ent"], f)
+        return t[:, 0], idx[:, 0]
+
+    return run
+
+
+VARIANTS["presplit_g2"] = lambda B: launch_presplit(B, group_c=2)
+
+
 if __name__ == "__main__":
     main()
