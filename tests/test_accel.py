@@ -251,3 +251,70 @@ def test_occluded_streaming_matches_resident(monkeypatch):
         culled.triangle_occluded(o, d, mesh, quirks=CLEAN, t_max=bnd)
     )
     np.testing.assert_array_equal(stream, res)
+
+
+def test_culled_incoherent_route_matches_bruteforce():
+    """The bounce-wave configuration — FINE clustering, group_c=2,
+    mt_passes=3 (bf16x3 product), live mask — against the jnp [R, T]
+    brute force. This is the exact knob combination geometry.intersect
+    routes incoherent waves to (geometry.py intersect); the coarse
+    default path is covered by test_culled_matches_bruteforce."""
+    v0, v1, v2, m = _mesh(t=1500, seed=11)
+    mesh = accel.build_clusters(
+        v0, v1, v2, m, cluster_size=accel.FINE_CLUSTER_SIZE
+    )
+    rng = np.random.default_rng(5)
+    R = 1536
+    o = jnp.asarray(rng.uniform(-10, 10, (R, 3)).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(R, 3)).astype(np.float32))
+    live = jnp.asarray((rng.uniform(size=R) > 0.3).astype(np.float32))
+    ref = geometry.nearest_triangle(o, d, v0, v1, v2, m, quirks=CLEAN)
+    t, idx, hit = culled.triangle_nearest_culled(
+        o, d, mesh, quirks=CLEAN, live=live, group_c=2, mt_passes=3
+    )
+    lv = np.asarray(live) > 0
+    hit_np, rhit = np.asarray(hit)[lv], np.asarray(ref.hit)[lv]
+    agree = hit_np == rhit
+    # bf16x3 may flip knife-edge hits; overwhelming agreement required
+    assert agree.mean() > 0.99, f"{(~agree).sum()} live rays disagree"
+    both = hit_np & rhit & agree
+    np.testing.assert_allclose(
+        np.asarray(t)[lv][both], np.asarray(ref.t)[lv][both],
+        rtol=1e-3, atol=1e-3,
+    )
+    same_t = np.isclose(
+        np.asarray(t)[lv], np.asarray(ref.t)[lv], rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(idx)[lv][both & same_t],
+        np.asarray(ref.index)[lv][both & same_t],
+    )
+
+
+def test_occluded_incoherent_route_matches_bruteforce():
+    """Any-hit kernel through the bounce-shadow knobs (fine clustering,
+    group_c=2, mt_passes=3, live mask, bounded t) vs the jnp scan."""
+    v0, v1, v2, m = _mesh(t=1200, seed=13)
+    mesh = accel.build_clusters(
+        v0, v1, v2, m, cluster_size=accel.FINE_CLUSTER_SIZE
+    )
+    rng = np.random.default_rng(7)
+    R = 1024
+    o = jnp.asarray(rng.uniform(-10, 10, (R, 3)).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(R, 3)).astype(np.float32))
+    live = jnp.asarray((rng.uniform(size=R) > 0.25).astype(np.float32))
+    t_max = jnp.asarray(rng.uniform(2.0, 30.0, (R,)).astype(np.float32))
+    occ = culled.triangle_occluded(
+        o, d, mesh, quirks=CLEAN, t_max=t_max, live=live,
+        group_c=2, mt_passes=3,
+    )
+    from skele_raytracer_tpu.config import CLEAN_T_EPS
+    from skele_raytracer_tpu.ops.geometry import ray_triangle_all
+
+    t_all, ok, _, _ = ray_triangle_all(o, d, v0, v1, v2, m, quirks=CLEAN)
+    ref = np.asarray(
+        jnp.any(ok & (t_all < t_max[:, None]), axis=1)
+    )
+    lv = np.asarray(live) > 0
+    agree = np.asarray(occ)[lv] == ref[lv]
+    assert agree.mean() > 0.995, f"{(~agree).sum()} live rays disagree"
