@@ -321,10 +321,14 @@ def intersect(o, d, scene, *, quirks: Quirks, backend: str = "jnp", live=None) -
                     o_k, d_k, sg(mesh), quirks=quirks,
                     live=None if live is None else sg(live),
                     group_c=2 if incoherent else None,
-                    # bf16x3 matmul on the incoherent wave: identical hit
-                    # records, t <= 4e-5 relative off, half the MXU time
-                    # (culled._mt_products).
-                    mt_passes=3 if incoherent else 6,
+                    # bf16x3 matmul for CLEAN mode: hit flags identical,
+                    # winning indices flip only on exact-tie silhouettes
+                    # (6 per 64k primary rays), t <= 4e-5 relative off —
+                    # for -23% (coherent) to -50% (incoherent) MXU time
+                    # (culled._mt_products). Parity keeps the full-f32
+                    # product: its goldens are byte-compared against the
+                    # reference binary.
+                    mt_passes=6 if quirks.reference_triangle_test else 3,
                 )
             else:
                 from skele_raytracer_tpu.ops.pallas import intersect as pk

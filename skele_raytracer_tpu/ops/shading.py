@@ -186,7 +186,9 @@ def _shadow_mask(x, normal, scene, cfg: RenderConfig, l_vec, light_dist=None, li
             t_max=None if tmax is None else sg(tmax),
             live=lv,
             group_c=2 if incoherent else None,
-            mt_passes=3 if incoherent else 6,
+            # clean keeps bf16x3 everywhere; parity full f32 (see
+            # geometry.intersect)
+            mt_passes=6 if quirks.reference_triangle_test else 3,
         ).reshape(L, R)
 
     cols = []
