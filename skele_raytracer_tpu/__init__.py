@@ -47,7 +47,7 @@ from skele_raytracer_tpu.scene.types import (
     Triangles,
 )
 from skele_raytracer_tpu.scene.parser import parse_scene
-from skele_raytracer_tpu.models.renderer import render
+from skele_raytracer_tpu.models.renderer import render, render_frames
 
 __all__ = [
     "RenderConfig",
@@ -63,4 +63,5 @@ __all__ = [
     "Camera",
     "parse_scene",
     "render",
+    "render_frames",
 ]

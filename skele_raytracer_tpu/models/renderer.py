@@ -119,3 +119,28 @@ def render(scene, cfg: RenderConfig, seed: int = 0):
     utils.image.to_ppm — the reference clamps to [0,1] and scales by 255
     only at write time, src/main.cpp:88-101)."""
     return _render_jit(scene, cfg, jnp.uint32(seed))
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _render_frames_jit(scene, cfg, seeds):
+    return jax.lax.map(lambda k: render_radiance(scene, cfg, k), seeds)
+
+
+def render_frames(scene, cfg: RenderConfig, seeds):
+    """Render a BATCH of frames (distinct RNG seeds) in ONE device
+    program: [K, H, W, 3] float32 radiance.
+
+    The serving-throughput entry point: on this class of deployment the
+    fixed per-dispatch host<->device latency dominates a single 1080p
+    frame (~8 ms device vs ~25 ms round trip), and pipelining separate
+    dispatches does NOT amortize it — frames must share one program
+    (bench.py sustained row: 4.5 G rays/s/chip at K=16 vs 1.0 G
+    dispatched singly). Each frame is an independent sample stream, so
+    this also serves progressive accumulation: mean the K frames for a
+    K-times-denoised image at sustained rate.
+
+    seeds: [K] uint32 (e.g. jnp.arange(K, dtype=jnp.uint32)). Memory is
+    bounded by cfg.rays_per_chunk exactly as in render(); the K output
+    frames (K*H*W*3 floats) are the only K-scaled residency.
+    """
+    return _render_frames_jit(scene, cfg, jnp.asarray(seeds, jnp.uint32))
