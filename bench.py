@@ -289,6 +289,30 @@ def _bench_4k(scene, cfg) -> None:
     )
 
 
+def _bench_fog() -> None:
+    """spheres2 in CLEAN semantics: its spherical fog is value-bearing
+    (parity's sscanf quirk zeroes it), so every per-light diffuse and
+    specular term reroutes through spherical_fog_shading with fresh
+    random draws (src/blinn_phong.h:56-66,104-110) — the heaviest
+    shading configuration the scene set reaches."""
+    from skele_raytracer_tpu.config import CLEAN
+
+    cfg = RenderConfig(
+        width=W, height=H, monte_carlo=True, num_paths=PATHS,
+        max_depth=DEPTH, use_shadows=True, backend="pallas",
+        rays_per_chunk=1 << 17, quirks=CLEAN,
+    )
+    scene = parse_scene("scenes/spheres2.scn").to_scene(cfg.quirks)
+    fwd = jax.jit(lambda s, k: render_radiance(s, cfg, k))
+    t = _time(fwd, scene, jnp.uint32(0))
+    RESULT.setdefault("configs", []).append(
+        {"config": "spheres2 1920x1080 clean(live fog) gillum16 shadows",
+         "s_per_frame": round(t, 4),
+         "rays_per_sec": round(RAYS_PER_FRAME / t)}
+    )
+    _emit()
+
+
 def _bench_dragon() -> None:
     """Triangle-mesh configs (scenes/dragon.scn, 10,002 triangles) through
     the cluster-culled Pallas kernels — the capability the reference serves
@@ -367,6 +391,7 @@ def main() -> None:
     _section("grad_err", 120, lambda: _bench_grad_err(scene))
     _section("sustained", 120, lambda: _bench_sustained(scene, cfg))
     _section("4k", 120, lambda: _bench_4k(scene, cfg))
+    _section("fog", 120, _bench_fog)
     _section("dragon", 240, _bench_dragon)
 
     def _sol():

@@ -66,6 +66,7 @@ from skele_raytracer_tpu.config import (
 from skele_raytracer_tpu.ops.pallas.intersect import _BIG, _interpret
 from skele_raytracer_tpu.ops.sampling import (
     _GOLDEN,
+    PURPOSE_FOG,
     PURPOSE_JITTER,
     PURPOSE_PATH,
     bits_to_unit,
@@ -92,17 +93,24 @@ MAX_SPHERES = 64
 MAX_TRIS = 32
 
 
+MAX_FOG = 2  # fog volumes the kernel shades in-register (per volume:
+# 8 threefry draws + the two rerouted per-light fog terms, per ray
+# bounce — spheres2's single volume is the benchmarked case)
+
+
 def use_pathtrace(scene, cfg: RenderConfig) -> bool:
     """True when this kernel serves the config: pallas backend, a small
     scene (spheres + at most MAX_TRIS decorative triangles — mesh scenes
     stream through the culled kernels instead), linear (MC/parity)
-    integrator, no value-bearing fog."""
+    integrator; value-bearing fog is shaded in-kernel up to MAX_FOG
+    volumes (src/blinn_phong.h:56-66 rerouting)."""
     return (
         cfg.backend == "pallas"
         and (scene.has_spheres or scene.has_triangles)
         and not (scene.has_triangles
                  and scene.triangles.mask.shape[0] > MAX_TRIS)
-        and not (scene.has_fog and not scene.fog_zeroed)
+        and (not (scene.has_fog and not scene.fog_zeroed)
+             or scene.fog.mask.shape[0] <= MAX_FOG)
         and (cfg.monte_carlo or cfg.quirks.disable_reflections)
         and scene.spheres.mask.shape[0] <= MAX_SPHERES
         and cfg.max_depth >= 1
@@ -320,6 +328,7 @@ def _build_frame_math(
     height: int,
     angle: float,
     quirks,
+    F: int = 0,
     emit_records: bool = False,
     replay: bool = False,
 ):
@@ -432,8 +441,17 @@ def _build_frame_math(
              dl_ref[l, 4], dl_ref[l, 5], dl_ref[l, 6])
             for l in range(LD)
         ] if dir_on else []
+        # fog volumes (misc rows 1..F): radius, absorption, scattering,
+        # albedo rgb, mask — _pack_tables layout
+        fogs = [
+            (misc_ref[1 + f, 0], misc_ref[1 + f, 1], misc_ref[1 + f, 2],
+             misc_ref[1 + f, 3], misc_ref[1 + f, 4], misc_ref[1 + f, 5],
+             misc_ref[1 + f, 6])
+            for f in range(F)
+        ]
 
-        def shade(x, n, amb, dif, spec, powr, rec=None):
+        def shade(x, n, amb, dif, spec, powr, pc=None, idp=None, bounce=0,
+                  rec=None):
             """direct_illumination (ops/shading.py) on planes: ambient +
             per-light Blinn-Phong with optional shadow scans (forward) or
             record-bit shadow gates (replay). Also returns the packed
@@ -485,6 +503,52 @@ def _build_frame_math(
                     gate = lm * jnp.ones_like(d_l)
                 intensity = 1.0 / jnp.maximum(d_l * d_l, 1e-30)
                 ndotl = jnp.maximum(0.0, n[0] * ldx + n[1] * ldy + n[2] * ldz)
+                if F > 0:
+                    # Fog reroute (shading._fog_term on planes): BOTH the
+                    # diffuse and the specular per-light terms become fog
+                    # terms with independent draws — the sampling.uniform
+                    # (L, F, 4, 2) stream, C-order flat draw indices.
+                    # Gate (mask * unshadowed) still applies; 1/d^2 and
+                    # ndotl live INSIDE the interaction branch.
+                    diff_base = intensity * ndotl
+                    fr = jnp.zeros_like(d_l)
+                    fg_ = jnp.zeros_like(d_l)
+                    fb = jnp.zeros_like(d_l)
+                    for fi, (rad, absn, scat, alr, alg, alb_, mf) in (
+                            enumerate(fogs)):
+                        dcx = pc[0] - lx
+                        dcy = pc[1] - ly
+                        dcz = pc[2] - lz
+                        dist = jnp.sqrt(jnp.maximum(
+                            dcx * dcx + dcy * dcy + dcz * dcz, 0.0))
+                        dist = jnp.minimum(dist, 2.0 * rad)
+                        p_no = jnp.exp(-dist * (absn + scat))
+                        base_i = (li * F + fi) * 8
+                        for term in (0, 1):
+                            u0 = _draw(seed, bounce, PURPOSE_FOG, idp,
+                                       base_i + term)
+                            interacts = u0 > p_no
+                            u1 = _draw(seed, bounce, PURPOSE_FOG, idp,
+                                       base_i + 2 + term)
+                            u2 = _draw(seed, bounce, PURPOSE_FOG, idp,
+                                       base_i + 4 + term)
+                            u3 = _draw(seed, bounce, PURPOSE_FOG, idp,
+                                       base_i + 6 + term)
+                            nlx = ldx + scat * (u1 * 2.0 - 1.0)
+                            nly = ldy + scat * (u2 * 2.0 - 1.0)
+                            nlz = ldz + scat * (u3 * 2.0 - 1.0)
+                            ndotl2 = jnp.maximum(
+                                0.0, n[0] * nlx + n[1] * nly + n[2] * nlz)
+                            fr += jnp.where(interacts, dif[0] * diff_base,
+                                            alr * ndotl2) * mf
+                            fg_ += jnp.where(interacts, dif[1] * diff_base,
+                                             alg * ndotl2) * mf
+                            fb += jnp.where(interacts, dif[2] * diff_base,
+                                            alb_ * ndotl2) * mf
+                    dr += cr * fr * gate
+                    dg += cg * fg_ * gate
+                    db += cb * fb * gate
+                    continue
                 hx, hy, hz = vx + ldx, vy + ldy, vz + ldz
                 h2 = hx * hx + hy * hy + hz * hz
                 hpos = h2 > 0
@@ -678,7 +742,14 @@ def _build_frame_math(
         amb0, dif0, spec0, pow0 = unpack(m0)
         cen0 = m0[n_sc:n_sc + 3]
         x0, n0 = hit_geom(cam, (dx, dy, dz), t0, hit0, triw0, idx0, cen0)
+        if F > 0 and tri_on and not tri_black:
+            # fog distance term: sphere center for sphere hits, the hit
+            # point for clean triangle hits (shading._shade_hit routing)
+            pc0 = tuple(jnp.where(triw0, x0[c], cen0[c]) for c in range(3))
+        else:
+            pc0 = cen0
         d0r, d0g, d0b, bits0 = shade(x0, n0, amb0, dif0, spec0, pow0,
+                                     pc=pc0, idp=ids, bounce=0,
                                      rec=recs_in[0] if replay else None)
         if emit_records:
             recs_out[0] = pack_rec(idx0, hit0, triw0, bits0)
@@ -768,8 +839,15 @@ def _build_frame_math(
                     xb, nb = hit_geom(ob3, db3, tb, hitb, triwb, idxb,
                                       mb[n_sc:n_sc + 3])
                 if need_geo_final:
+                    cenb = mb[n_sc:n_sc + 3]
+                    if F > 0 and tri_on and not tri_black:
+                        pcb = tuple(jnp.where(triwb, xb[c], cenb[c])
+                                    for c in range(3))
+                    else:
+                        pcb = cenb
                     dbr, dbg, dbb, bitsb = shade(
                         xb, nb, ambb, difb, specb, powb,
+                        pc=pcb, idp=idp, bounce=b,
                         rec=recs_in[slot] if replay else None)
                 else:
                     dbr = amb_s[0] * ambb[0]
@@ -880,6 +958,20 @@ def _pack_tables(scene):
         [cam_t.position, right, cam_t.up, cam_t.direction, scene.ambient,
          scene.background, jnp.zeros((6,), jnp.float32)]
     )[None, :]
+    if scene.has_fog and not scene.fog_zeroed:
+        # fog rows appended below the camera row: radius(0) absorption(1)
+        # scattering(2) albedo(3:6) mask(6) — shading._fog_term's inputs
+        # (the volume CENTER is unused by the reference's fog math).
+        fg = scene.fog
+        Fn = fg.mask.shape[0]
+        misc = jnp.concatenate(
+            [misc,
+             jnp.concatenate(
+                 [fg.radius[:, None], fg.absorption[:, None],
+                  fg.scattering[:, None], fg.albedo, fg.mask[:, None],
+                  jnp.zeros((Fn, misc.shape[1] - 7), jnp.float32)],
+                 axis=1)],
+            axis=0)
 
     plt = scene.point_lights
     L = plt.mask.shape[0]
@@ -917,6 +1009,8 @@ def _static_kernel_args(scene, cfg: RenderConfig) -> dict:
         use_shadows=cfg.use_shadows, mc=cfg.monte_carlo,
         P=cfg.paths_per_sample, D=cfg.max_depth, grid=cfg.grid_size,
         width=cfg.width, height=cfg.height, angle=angle, quirks=cfg.quirks,
+        F=(scene.fog.mask.shape[0]
+           if scene.has_fog and not scene.fog_zeroed else 0),
     )
 
 

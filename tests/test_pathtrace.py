@@ -175,11 +175,43 @@ class TestDispatch:
         sph_c = parsed_spheres.to_scene(CLEAN)
         assert not pathtrace.use_pathtrace(sph_c, clean_whitted)
 
-    def test_real_fog_excluded(self, parsed_fog_scene):
-        cfg = RenderConfig(monte_carlo=True, num_paths=2, max_depth=2,
-                           backend="pallas", quirks=CLEAN)
+    @pytest.mark.slow
+    def test_real_fog_served_in_kernel(self, parsed_fog_scene):
+        """Value-bearing fog is shaded IN-KERNEL (up to MAX_FOG
+        volumes): both per-point-light terms reroute through the fog term
+        with the sampling.uniform (L, F, 4, 2) draw streams
+        (src/blinn_phong.h:56-66,104-110). Equivalence vs the jnp path
+        covers the interaction branch, the perturbed-direction albedo
+        branch, and the prim-center distance term."""
+        _compare(parsed_fog_scene, RenderConfig(
+            monte_carlo=True, num_paths=3, max_depth=2, quirks=CLEAN,
+            width=24, height=16, use_shadows=True, backend="pallas"))
+
+    @pytest.mark.slow
+    def test_fog_grads_match_jnp(self, parsed_fog_scene):
+        """Gradients through the in-kernel fog shading (analytic
+        backward) match the jnp path — including the fog leaves
+        (albedo/scattering/absorption map back via _pack_tables' vjp)."""
+        cfg = RenderConfig(width=12, height=8, monte_carlo=True, num_paths=2,
+                           max_depth=2, use_shadows=True, backend="pallas",
+                           quirks=CLEAN)
         scene = parsed_fog_scene.to_scene(CLEAN)
-        assert not pathtrace.use_pathtrace(scene, cfg)
+        assert pathtrace.use_pathtrace(scene, cfg)
+        ids = jnp.arange(12 * 8, dtype=jnp.uint32)
+
+        def loss(s, c):
+            r = render_ids_chunked(s, c, jnp.uint32(3), ids)
+            return jnp.sum(r * r)
+
+        gk = jax.grad(lambda s: loss(s, cfg))(scene)
+        gj = jax.grad(lambda s: loss(s, cfg.replace(backend="jnp")))(scene)
+        for a, b in zip(jax.tree_util.tree_leaves(gk),
+                        jax.tree_util.tree_leaves(gj)):
+            a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+            if a.size == 0:
+                continue
+            scale = max(np.abs(b).max(), 1e-6)
+            np.testing.assert_allclose(a, b, atol=2e-3 * scale)
 
 
 class TestGradients:
