@@ -232,14 +232,65 @@ def _bench_grad_err(scene) -> None:
     max_err = max(max_err, float(np.abs(ga - fd_all)[mask].max()))
     max_fd = max(max_fd, float(np.abs(fd_all[mask]).max()))
 
+    # 4. Fixed-topology FD — the FALSIFIABLE geometry check: freeze every
+    #    discrete selection the forward made (hit records + tangent-frame
+    #    branch bits) and central-FD the differentiable REPLAY wrt sphere
+    #    centres. At fixed topology the pixel function is smooth, so the
+    #    production analytic backward (`ga` above — the Pallas backward
+    #    kernel, by construction the gradient of this replay at these
+    #    records) must match FD allclose. Runs in a CPU/x64 subprocess
+    #    (tools/fixed_topology_fd.py): f32 FD noise at safe step sizes is
+    #    ~0.5%, swamping the 1e-3 target; f64 removes it without touching
+    #    the production f32 paths. Figure 3 keeps the free-FD number as
+    #    the documented silhouette caveat; this one has no caveat.
+    import subprocess
+    import sys
+    import tempfile
+
+    from skele_raytracer_tpu.ops.pallas import pathtrace
+
+    ids = jnp.arange(cfg.height * cfg.width, dtype=jnp.uint32)
+    _, rec = jax.jit(
+        lambda s: pathtrace._pathtrace_call(
+            s, cfg, jnp.uint32(7), ids, with_records=True
+        )
+    )(scene)
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    env = dict(os.environ)
+    env.update(JAX_PLATFORMS="cpu", JAX_ENABLE_X64="1")
+    env["PYTHONPATH"] = os.pathsep.join(
+        [repo] + [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+                  if p and "axon" not in p]
+    )
+    with tempfile.TemporaryDirectory() as td:
+        npz = os.path.join(td, "fix.npz")
+        np.savez(npz, rec=np.asarray(rec), ga=ga)
+        spec = json.dumps({
+            "width": cfg.width, "height": cfg.height, "paths": cfg.num_paths,
+            "depth": cfg.max_depth, "chunk": cfg.rays_per_chunk,
+            "scene": os.path.join(repo, "scenes/spheres1.scn"), "seed": 7,
+        })
+        out = subprocess.run(
+            [sys.executable, os.path.join(repo, "tools/fixed_topology_fd.py"),
+             npz, spec],
+            env=env, capture_output=True, text=True, timeout=600,
+        )
+    fix = json.loads(out.stdout.strip().splitlines()[-1])
+    geo_fix_rel = fix["geometry_fixed_topology_fd_rel"]
+
     RESULT["grad_err"] = {
         "smooth_max_rel_err": round(max_rel, 6),
         "smooth_worst_param": worst,
+        "geometry_fixed_topology_fd_rel": round(geo_fix_rel, 6),
         "geometry_kernel_vs_jnp_rel": round(geo_vs_jnp, 6),
         "geometry_fd_norm_rel": round(geo_fd_rel, 4),
-        "geometry_note": "FD at finite eps sees visibility-silhouette "
-        "motion that stop_gradient'ed hit selection cannot; the "
-        "kernel-vs-jnp figure isolates backward implementation error",
+        "geometry_note": "fixed_topology is the primary geometry figure: "
+        "central FD of the hit-record replay (topology frozen) vs the "
+        "analytic backward — smooth by construction, must be allclose. "
+        "The free-FD norm_rel additionally sees visibility-silhouette "
+        "motion that stop_gradient'ed hit selection cannot (documented "
+        "differentiable-rendering caveat)",
         "max_abs_err": round(max_err, 6),
         "max_fd_magnitude": round(max_fd, 4),
         "fd_eps": eps,

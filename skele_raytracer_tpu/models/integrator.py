@@ -128,10 +128,10 @@ def _shade_hit(scene, cfg: RenderConfig, key, o, d, ids, bounce, live=None):
     # prim_center only feeds the fog distance term — skip the (scatter-
     # producing) gather entirely when fog shading is inactive.
     if scene.has_fog and not scene.fog_zeroed:
-        from skele_raytracer_tpu.ops.geometry import one_hot_rows
+        from skele_raytracer_tpu.ops.geometry import gather_rows, one_hot_rows
 
         oh = one_hot_rows(index, scene.spheres.mask.shape[0])
-        prim_center = oh @ scene.spheres.center
+        prim_center = gather_rows(oh, scene.spheres.center)
         if not quirks.triangles_shade_black:
             prim_center = jnp.where((kind == 2)[:, None], hits.point, prim_center)
     else:

@@ -73,6 +73,20 @@ def one_hot_rows(index, n, valid=None):
     return oh
 
 
+def gather_rows(oh, table):
+    """`oh @ table` at HIGHEST matmul precision.
+
+    A one-hot gather must reproduce the table values EXACTLY, but the
+    TPU MXU's DEFAULT f32 precision truncates both operands to bf16 —
+    quantizing the gathered values to ~3 decimal digits (a sphere centre
+    at -50.0 snaps to 0.25-wide steps, which flattened small geometry
+    perturbations and broke the fixed-topology finite-difference
+    gradient check). HIGHEST runs the 6-pass bf16 split, exact for
+    0/1-weight rows at f32. Every one_hot_rows product goes through
+    here."""
+    return jnp.matmul(oh, table, precision=jax.lax.Precision.HIGHEST)
+
+
 def offset_origin(point, normal, sign=1.0):
     """Secondary-ray origin offset along the normal, scaled with distance
     from the world origin: float32 hit points carry ~|p| * 2^-23 error, so
@@ -373,7 +387,7 @@ def intersect(o, d, scene, *, quirks: Quirks, backend: str = "jnp", live=None) -
     # serial scatter-add (see one_hot_rows).
     if scene.has_spheres:
         oh = one_hot_rows(sph.index, scene.spheres.mask.shape[0])
-        c = oh @ scene.spheres.center
+        c = gather_rows(oh, scene.spheres.center)
         normal = normalize(point - c)
     else:
         normal = jnp.zeros_like(point)

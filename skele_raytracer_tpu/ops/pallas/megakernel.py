@@ -730,6 +730,7 @@ def shade_replay(o, d, scene, kind, index, unshadowed, *, use_shadows):
         _pos_sqrt,
         dot,
         normalize,
+        gather_rows,
         one_hot_rows,
         replay_triangle_t,
     )
@@ -740,8 +741,8 @@ def shade_replay(o, d, scene, kind, index, unshadowed, *, use_shadows):
     # sphere t replay (same quadratic restricted to the selected sphere)
     S = scene.spheres.mask.shape[0]
     oh = one_hot_rows(jnp.where(sph_sel, index, 0), S)
-    c_sel = oh @ scene.spheres.center
-    r_sel = oh @ scene.spheres.radius[:, None]
+    c_sel = gather_rows(oh, scene.spheres.center)
+    r_sel = gather_rows(oh, scene.spheres.radius[:, None])
     ec = o - c_sel
     a = dot(d, d)
     b = 2.0 * dot(d, ec)
@@ -761,7 +762,7 @@ def shade_replay(o, d, scene, kind, index, unshadowed, *, use_shadows):
     normal = jnp.where(tri_sel[:, None], n_tri, n_sph)
 
     def sel_mat(field):
-        sv = oh @ getattr(scene.spheres, field).reshape(S, -1)
+        sv = gather_rows(oh, getattr(scene.spheres, field).reshape(S, -1))
         tv = getattr(scene.triangles, field).reshape(
             scene.triangles.mask.shape[0], -1
         )[idx_t]
@@ -819,13 +820,18 @@ def hit_geometry(o, d, scene, kind, index, t):
     structure — shared by the integrator's megakernel path (the kernel's
     in-VMEM normals/materials never leave the chip; downstream consumers
     re-derive them at O(rays) from the saved (kind, index))."""
-    from skele_raytracer_tpu.ops.geometry import dot, normalize, one_hot_rows
+    from skele_raytracer_tpu.ops.geometry import (
+        dot,
+        gather_rows,
+        normalize,
+        one_hot_rows,
+    )
 
     t_safe = jnp.where(jnp.isfinite(t), t, 0.0)
     point = o + d * t_safe[:, None]
     S = scene.spheres.mask.shape[0]
     oh = one_hot_rows(jnp.where(kind == 1, index, 0), S)
-    n_sph = normalize(point - oh @ scene.spheres.center)
+    n_sph = normalize(point - gather_rows(oh, scene.spheres.center))
     idx_t = jnp.minimum(
         jnp.where(kind == 2, index, 0), scene.triangles.v0.shape[0] - 1
     )

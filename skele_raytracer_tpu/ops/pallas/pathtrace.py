@@ -1173,14 +1173,34 @@ def _f0(x):
 # ---------------------------------------------------------------------------
 
 
-def _replay_radiance(scene, cfg: RenderConfig, seed, sample_ids, rec):
+def replay_frame_bits(scene, cfg: RenderConfig, seed, sample_ids, rec):
+    """The tangent-frame branch bits [P*(D-1), N] the replay takes at
+    THIS scene — the frozen-topology side data for the fixed-topology
+    finite-difference gradient check (pass to _replay_radiance /
+    _replay_chunked as frame_bits)."""
+    bits: list = []
+    _replay_radiance(scene, cfg, seed, sample_ids, rec,
+                     collect_frame_bits=bits)
+    if not bits:
+        return jnp.zeros((0, sample_ids.shape[0]), bool)
+    return jnp.stack(bits)
+
+
+def _replay_radiance(scene, cfg: RenderConfig, seed, sample_ids, rec,
+                     frame_bits=None, collect_frame_bits=None):
     """Differentiable jnp re-computation of the kernel's radiance FROM the
     saved hit structure (the same contract as megakernel.shade_replay,
     here for the whole path-trace chain): per-bounce sphere t replayed
     from the SELECTED sphere's quadratic (O(rays), src/utils.h:113-121),
     shading gated by the saved per-light unshadowed bits — no argmin, no
     [rays, spheres] scans, no shadow scans. rec: [K, N] int32 packed
-    (index | hit<<8 | unshadowed bits<<9)."""
+    (index | hit<<8 | unshadowed bits<<9).
+
+    `frame_bits` (optional, [P*(D-1), N] bool): FREEZES the tangent-frame
+    branch per (path, bounce) — the remaining discrete selection beyond
+    the hit records. The fixed-topology finite-difference check passes
+    the base scene's bits (replay_frame_bits) so FD samples the same
+    locally-smooth function autodiff differentiates."""
     from skele_raytracer_tpu.ops import sampling
     from skele_raytracer_tpu.ops.camera import rays_for_ids
     from skele_raytracer_tpu.ops.geometry import (
@@ -1189,6 +1209,7 @@ def _replay_radiance(scene, cfg: RenderConfig, seed, sample_ids, rec):
         norm,
         normalize,
         offset_origin,
+        gather_rows,
         one_hot_rows,
         replay_triangle_t,
     )
@@ -1215,8 +1236,8 @@ def _replay_radiance(scene, cfg: RenderConfig, seed, sample_ids, rec):
         selected-sphere quadratic / selected-triangle MT t (O(rays)),
         then the shared hit_geometry / gather_material replays."""
         oh = one_hot_rows(jnp.where(kind == 1, idx, 0), S)
-        cen = oh @ scene.spheres.center
-        rad = (oh @ scene.spheres.radius[:, None])[:, 0]
+        cen = gather_rows(oh, scene.spheres.center)
+        rad = gather_rows(oh, scene.spheres.radius[:, None])[:, 0]
         ec = o - cen
         a = dot(d, d)
         b = 2.0 * dot(d, ec)
@@ -1312,7 +1333,12 @@ def _replay_radiance(scene, cfg: RenderConfig, seed, sample_ids, rec):
                                      (2,))
             r1, r2 = rdraw[:, 0], rdraw[:, 1]
             smp = sampling.uniform_sample_hemi(r1, r2)
-            d_new = sampling.to_world(smp, nb, quirks=q)
+            fb = (None if frame_bits is None
+                  else frame_bits[p * (D - 1) + (b - 1)])
+            if collect_frame_bits is not None:
+                collect_frame_bits.append(
+                    jnp.abs(nb[..., 0]) > jnp.abs(nb[..., 1]))
+            d_new = sampling.to_world(smp, nb, quirks=q, use_x=fb)
             if not q.unnormalized_ray_dirs:
                 d_new = normalize(d_new)
             if q.scalar_epsilon_offset:
@@ -1333,10 +1359,11 @@ def _replay_radiance(scene, cfg: RenderConfig, seed, sample_ids, rec):
     return l0 + acc / P
 
 
-def _replay_chunked(scene, cfg: RenderConfig, seed, sample_ids, rec):
+def _replay_chunked(scene, cfg: RenderConfig, seed, sample_ids, rec,
+                    frame_bits=None):
     """Chunk + rematerialize the replay (same rationale as
     renderer.render_ids_chunked_jnp: the per-bounce AD residuals of a
-    whole 1080p frame would be GBs)."""
+    whole 1080p frame would be GBs). frame_bits: see _replay_radiance."""
     n = sample_ids.shape[0]
     fan = max(cfg.paths_per_sample, 1)
     chunk = max(128, min(max(1, cfg.rays_per_chunk // fan), n))
@@ -1349,10 +1376,19 @@ def _replay_chunked(scene, cfg: RenderConfig, seed, sample_ids, rec):
     rec_p = jnp.concatenate(
         [rec, jnp.zeros((K, padded - n), rec.dtype)], axis=1
     ).reshape(K, n_chunks, chunk).transpose(1, 0, 2)
+    args = (ids, rec_p)
+    if frame_bits is not None:
+        B = frame_bits.shape[0]
+        fb_p = jnp.concatenate(
+            [frame_bits, jnp.zeros((B, padded - n), frame_bits.dtype)],
+            axis=1,
+        ).reshape(B, n_chunks, chunk).transpose(1, 0, 2)
+        args = args + (fb_p,)
     body = jax.checkpoint(
-        lambda args: _replay_radiance(scene, cfg, seed, args[0], args[1])
+        lambda a: _replay_radiance(scene, cfg, seed, a[0], a[1],
+                                   frame_bits=a[2] if len(a) > 2 else None)
     )
-    radiance = jax.lax.map(body, (ids, rec_p))
+    radiance = jax.lax.map(body, args)
     return radiance.reshape(padded, 3)[:n]
 
 

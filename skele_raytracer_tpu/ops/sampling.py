@@ -124,12 +124,21 @@ def uniform_sample_hemi(r1, r2):
     return jnp.stack([s_theta * jnp.cos(phi), r1, s_theta * jnp.sin(phi)], axis=-1)
 
 
-def tangent_frame(normal):
+def tangent_frame(normal, use_x=None):
     """Orthogonal-ish frame around `normal` (reference
     `transform_coordinate_space`, src/utils.h:148-165). Returns
-    (perp_to_normal, perp_to_both). normal: [..., 3]."""
+    (perp_to_normal, perp_to_both). normal: [..., 3].
+
+    `use_x` optionally FREEZES the |nx| > |ny| branch choice (a discrete
+    selection, like hit selection): the fixed-topology gradient check
+    re-evaluates the replay at perturbed geometry with the base scene's
+    branch bits, so finite differences sample the same locally-smooth
+    function autodiff differentiates (the branch flip is a jump
+    discontinuity FD would otherwise integrate, a constant-in-eps bias
+    measured at ~0.7% of the geometry gradient)."""
     nx, ny, nz = normal[..., 0], normal[..., 1], normal[..., 2]
-    use_x = jnp.abs(nx) > jnp.abs(ny)
+    if use_x is None:
+        use_x = jnp.abs(nx) > jnp.abs(ny)
     inv_a = 1.0 / jnp.sqrt(jnp.maximum(nx * nx + nz * nz, 1e-30))
     inv_b = 1.0 / jnp.sqrt(jnp.maximum(ny * ny + nz * nz, 1e-30))
     pn_a = jnp.stack([nz * inv_a, jnp.zeros_like(nx), -nx * inv_a], axis=-1)
@@ -139,15 +148,16 @@ def tangent_frame(normal):
     return perp_to_normal, perp_to_both
 
 
-def to_world(sample, normal, *, quirks: Quirks):
+def to_world(sample, normal, *, quirks: Quirks, use_x=None):
     """Tangent-space sample -> world space.
 
     Parity mode replicates the reference's skewed transform
     (src/raytrace.h:123-125): the third basis column mixes perp_to_normal.x
     with perp_to_both.{y,z}. Clean mode uses the proper orthonormal frame.
-    sample, normal: [..., 3].
+    sample, normal: [..., 3]. `use_x` freezes the frame branch (see
+    tangent_frame).
     """
-    pn, pb = tangent_frame(normal)
+    pn, pb = tangent_frame(normal, use_x=use_x)
     sx, sy, sz = sample[..., 0:1], sample[..., 1:2], sample[..., 2:3]
     if quirks.buggy_tangent_frame:
         third = jnp.stack(

@@ -41,6 +41,7 @@ from skele_raytracer_tpu.ops.geometry import (
     dot,
     norm,
     normalize,
+    gather_rows,
     one_hot_rows,
     ray_sphere_all,
     ray_triangle_all,
@@ -92,7 +93,7 @@ def _select_rows(table, index, valid=None):
     large ones (see one_hot_rows for why)."""
     n = table.shape[0]
     if n <= _ONE_HOT_MAX_ROWS:
-        out = one_hot_rows(index, n, valid=valid) @ table
+        out = gather_rows(one_hot_rows(index, n, valid=valid), table)
     else:
         out = table[jnp.minimum(index, n - 1)]
         if valid is not None:

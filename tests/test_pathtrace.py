@@ -273,6 +273,54 @@ class TestGradients:
         np.testing.assert_allclose(np.asarray(replayed), np.asarray(radiance),
                                    rtol=1e-4, atol=1e-5)
 
+    def test_fixed_topology_fd_matches_analytic(self, parsed_spheres):
+        """The falsifiable geometry-gradient check (BASELINE.md
+        'pixel-grad parity ... allclose'): freeze the forward's hit
+        records and central-FD the differentiable replay wrt sphere
+        centres. At fixed hit topology the pixel function is smooth —
+        no silhouette caveat applies — so autodiff of the replay (the
+        exact function the production Pallas backward differentiates)
+        must match FD to first order."""
+        cfg = RenderConfig(width=12, height=8, monte_carlo=True, num_paths=2,
+                           max_depth=2, use_shadows=True, backend="pallas")
+        scene = parsed_spheres.to_scene(cfg.quirks)
+        ids = jnp.arange(12 * 8, dtype=jnp.uint32)
+        _, rec = pathtrace._pathtrace_call(
+            scene, cfg, jnp.uint32(9), ids, with_records=True)
+        rec = jax.lax.stop_gradient(rec)
+        # Freeze the remaining discrete selection too: the tangent-frame
+        # branch bits at the base scene (a flip under perturbation is a
+        # jump discontinuity FD would integrate as constant-in-eps bias).
+        bits = pathtrace.replay_frame_bits(scene, cfg, jnp.uint32(9), ids,
+                                           rec)
+
+        def loss(s):
+            r = pathtrace._replay_chunked(s, cfg, jnp.uint32(9), ids, rec,
+                                          frame_bits=bits)
+            w = jnp.linspace(0.5, 1.5, r.size).reshape(r.shape)
+            return jnp.sum(r * w)
+
+        loss_j = jax.jit(loss)
+        ga = np.asarray(jax.grad(loss)(scene).spheres.center, np.float64)
+        base = np.asarray(scene.spheres.center, np.float64)
+        mask = np.asarray(scene.spheres.mask) > 0
+        eps = 1e-2
+        fd = np.zeros_like(base)
+        for i in range(base.shape[0]):
+            if not mask[i]:
+                continue
+            for j in range(base.shape[1]):
+                d = np.zeros_like(base)
+                d[i, j] = eps
+                sp = scene.replace(spheres=scene.spheres.replace(
+                    center=jnp.asarray(base + d, jnp.float32)))
+                sm = scene.replace(spheres=scene.spheres.replace(
+                    center=jnp.asarray(base - d, jnp.float32)))
+                fd[i, j] = (float(loss_j(sp)) - float(loss_j(sm))) / (2 * eps)
+        num = np.linalg.norm((ga - fd)[mask])
+        den = max(np.linalg.norm(fd[mask]), 1e-9)
+        assert num / den < 1e-2, (num / den, ga, fd)
+
     def test_grads_finite_and_nonzero(self, parsed_spheres):
         cfg = RenderConfig(width=12, height=8, monte_carlo=True, num_paths=2,
                            max_depth=2, use_shadows=True, backend="pallas")
