@@ -69,6 +69,17 @@ def build_parser() -> argparse.ArgumentParser:
     # as it renders (reference src/main.cpp:108-227), plus the crash
     # recovery the reference lacks (a crash there loses the whole frame,
     # src/main.cpp:88-101).
+    # Multi-frame serving (models/renderer.render_frames): K frames share
+    # ONE device program, amortizing the fixed per-dispatch host<->device
+    # latency that dominates a single frame (bench.py sustained row:
+    # ~4.5x the single-dispatch throughput at K=16). The reference renders
+    # one frame per process (src/main.cpp:230-413).
+    p.add_argument("--frames", type=int, default=None, metavar="K",
+                   help="render K frames (seeds seed..seed+K-1) in one "
+                   "device program; --output out.ppm writes out_000.ppm..")
+    p.add_argument("--spp-accumulate", type=int, default=None, metavar="K",
+                   help="average K independently-seeded frames into one "
+                   "K-times-denoised image, rendered in one device program")
     p.add_argument("--progressive", action="store_true",
                    help="render in restartable row bands "
                    "(models/progressive.py); implied by --resume/--preview-dir")
@@ -144,8 +155,23 @@ def main(argv=None) -> int:
     print(f"{cfg!r}\ndevices: {n_dev} x {jax.devices()[0].platform}", file=sys.stderr)
 
     progressive = args.progressive or args.resume or args.preview_dir
+    if (args.frames or args.spp_accumulate) and progressive:
+        print("--frames/--spp-accumulate cannot combine with progressive "
+              "rendering", file=sys.stderr)
+        return 2
 
     def run():
+        if args.frames or args.spp_accumulate:
+            import jax.numpy as jnp
+
+            from skele_raytracer_tpu.models.renderer import render_frames
+
+            k = args.frames or args.spp_accumulate
+            seeds = jnp.uint32(args.seed) + jnp.arange(k, dtype=jnp.uint32)
+            frames = render_frames(scene, cfg, seeds)
+            if args.spp_accumulate:
+                return frames.mean(axis=0)
+            return frames
         if progressive:
             from skele_raytracer_tpu.models.progressive import render_progressive
             from skele_raytracer_tpu.utils.image import write_ppm as _wppm
@@ -176,27 +202,40 @@ def main(argv=None) -> int:
         img = jax.block_until_ready(run())
     dt = time.perf_counter() - t0
 
-    rays = cfg.width * cfg.height * cfg.samples_per_pixel
+    n_frames = args.frames or args.spp_accumulate or 1
+    rays = cfg.width * cfg.height * cfg.samples_per_pixel * n_frames
     print(
-        f"rendered {cfg.width}x{cfg.height} ({rays} primary rays) in {dt:.3f}s "
-        f"[{rays / dt:,.0f} rays/s incl. compile]",
+        f"rendered {n_frames} x {cfg.width}x{cfg.height} ({rays} primary "
+        f"rays) in {dt:.3f}s [{rays / dt:,.0f} rays/s incl. compile]",
         file=sys.stderr,
     )
 
-    if args.output.endswith(".png"):
-        from skele_raytracer_tpu.utils.image import quantize
+    def write_one(path, frame):
+        if path.endswith(".png"):
+            from skele_raytracer_tpu.utils.image import quantize
 
-        try:
-            from PIL import Image  # pillow ships with the baked torch stack
+            try:
+                from PIL import Image  # pillow ships with the baked torch stack
 
-            Image.fromarray(quantize(img)).save(args.output)
-        except ImportError:
-            ppm = args.output[:-4] + ".ppm"
-            print(f"PIL unavailable; writing {ppm}", file=sys.stderr)
-            write_ppm(ppm, img)
+                Image.fromarray(quantize(frame)).save(path)
+            except ImportError:
+                ppm = path[:-4] + ".ppm"
+                print(f"PIL unavailable; writing {ppm}", file=sys.stderr)
+                write_ppm(ppm, frame)
+                return ppm
+        else:
+            write_ppm(path, frame)
+        return path
+
+    if args.frames:
+        root, ext = os.path.splitext(args.output)
+        for k in range(args.frames):
+            write_one(f"{root}_{k:03d}{ext}", img[k])
+        print(f"WROTE TO {root}_000{ext} .. {root}_{args.frames - 1:03d}{ext}",
+              file=sys.stderr)
     else:
-        write_ppm(args.output, img)
-    print(f"WROTE TO {args.output}", file=sys.stderr)
+        write_one(args.output, img)
+        print(f"WROTE TO {args.output}", file=sys.stderr)
     return 0
 
 

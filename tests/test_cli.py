@@ -98,6 +98,33 @@ def test_cli_progressive_kill_and_resume(tmp_path):
     np.testing.assert_array_equal(resumed, read_ppm(one_shot))
 
 
+def test_cli_frames_and_accumulate(tmp_path):
+    """--frames K renders K independently-seeded frames in ONE device
+    program (renderer.render_frames, the serving-throughput path) and
+    writes numbered files; --spp-accumulate K writes their mean. The
+    mean of the K frames must equal the accumulated image."""
+    out = str(tmp_path / "f.ppm")
+    common = ("--path", "scenes/spheres1.scn", "--width", "32",
+              "--height", "24", "--gillum", "2", "--depth", "2", "--shadow")
+    r = _run(*common, "--output", out, "--frames", "3", "--seed", "5")
+    assert r.returncode == 0, r.stderr[-2000:]
+    frames = [read_ppm(str(tmp_path / f"f_{k:03d}.ppm")) for k in range(3)]
+    # distinct seeds -> distinct MC noise
+    assert not np.array_equal(frames[0], frames[1])
+    acc = str(tmp_path / "acc.ppm")
+    r2 = _run(*common, "--output", acc, "--spp-accumulate", "3", "--seed", "5")
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    mean = np.stack([f.astype(np.float64) for f in frames]).mean(0)
+    # Per-frame quantization costs <= 0.5 LSB each; saturated pixels
+    # (clamped per frame vs clamped after averaging) can differ more.
+    unsat = np.stack(frames).max(0) < 255
+    err = np.abs(mean - read_ppm(acc).astype(np.float64))
+    assert err[unsat].max() <= 1.0, err[unsat].max()
+    # frames + progressive is rejected
+    r3 = _run(*common, "--output", out, "--frames", "2", "--progressive")
+    assert r3.returncode == 2
+
+
 def test_cli_missing_scene_fails_cleanly(tmp_path):
     r = _run("--path", "/nope/missing.scn", "--output", str(tmp_path / "x.ppm"))
     assert r.returncode == 1
