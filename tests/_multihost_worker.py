@@ -1,9 +1,12 @@
 """Subprocess worker for tests/test_multihost.py: one process of a
 2-process jax.distributed CPU cluster (4 virtual devices each, 8 global).
 
-argv: process_id coordinator_port scn_path out_npy
-Renders the shared test scene over the GLOBAL mesh and gathers the frame
-on process 0 (parallel/multihost.py is the code under test).
+argv: process_id coordinator_port scn_path out_npy [mode]
+mode "render" (default): render the scene over the GLOBAL mesh, gather
+the frame on process 0 (parallel/multihost.py is the code under test).
+mode "train": ONE models/train.train_step over the global mesh — the
+gradient psum (the design's single collective, parallel/api.py) crossing
+a REAL process boundary; process 0 saves loss + updated scene leaves.
 """
 
 import sys
@@ -13,6 +16,7 @@ def main() -> int:
     pid, port, scn_path, out_npy = (
         int(sys.argv[1]), sys.argv[2], sys.argv[3], sys.argv[4],
     )
+    mode = sys.argv[5] if len(sys.argv) > 5 else "render"
 
     import jax
 
@@ -39,6 +43,27 @@ def main() -> int:
         width=24, height=16, use_shadows=True, rays_per_chunk=1 << 9
     )
     mesh = multihost.global_mesh()
+
+    if mode == "train":
+        from functools import partial
+
+        from skele_raytracer_tpu.models import train
+
+        tx = train.make_optimizer(1e-2)
+        state = train.init_state(scene, tx)
+        target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+        step_fn = jax.jit(partial(train.train_step, cfg=cfg, tx=tx, mesh=mesh))
+        state, loss = step_fn(state, key=jnp.uint32(3), target=target)
+        if multihost.is_primary():
+            np.savez(
+                out_npy,
+                loss=np.asarray(loss),
+                diffuse=np.asarray(state.scene.spheres.diffuse),
+                center=np.asarray(state.scene.spheres.center),
+                light=np.asarray(state.scene.point_lights.colour),
+            )
+        return 0
+
     img = jax.jit(
         lambda s, k: render_radiance_sharded(s, cfg, k, mesh)
     )(scene, jnp.uint32(0))
