@@ -112,3 +112,82 @@ def test_matches_rebuilt_reference_binary(golden, scn, shadow, w, h, depth):
     # audit is test_dragon_matches_reference_golden above).
     n = 6000 if scn == "dragon.scn" else 20000
     _check_sampled(ref, f"/root/repo/scenes/{scn}", cfg, n_sample=n)
+
+
+# ---------------------------------------------------------------------------
+# STOCHASTIC configs — the configurations BASELINE.md actually times
+# (jsample-5 / gillum-16, reference README.md:40-51, src/time_notes:3-8).
+# Their pixels depend on libc rand(), so bytes cannot match; instead
+# tools/make_stochastic_goldens.sh pins srand via a time() LD_PRELOAD
+# shim, renders N=8 seeds through the reference's SERIAL path (single
+# thread -> deterministic rand() stream per seed; the OpenMP path races
+# rand() across threads and cannot be pinned), and stores the per-pixel
+# mean/variance of the quantized frames. The framework implements the
+# same estimator with its threefry RNG, so M framework seeds must agree
+# with the reference IN MEAN within the measured Monte-Carlo standard
+# error.
+# ---------------------------------------------------------------------------
+
+# (npz, scene, cfg overrides, sampled pixel count)
+STOCHASTIC_CASES = [
+    ("spheres1_jsample5_shadows_160.npz", "spheres1.scn",
+     dict(width=160, height=120, grid_size=5, max_depth=1,
+          use_shadows=True), 2000),
+    ("spheres1_gillum16_shadows_160.npz", "spheres1.scn",
+     dict(width=160, height=120, monte_carlo=True, num_paths=16,
+          max_depth=2, use_shadows=True), 4000),
+    ("spheres2_gillum16_shadows_128.npz", "spheres2.scn",
+     dict(width=128, height=96, monte_carlo=True, num_paths=16,
+          max_depth=2, use_shadows=True), 4000),
+]
+
+
+@pytest.mark.parametrize(
+    "golden,scn,params,n_pix", STOCHASTIC_CASES,
+    ids=[c[0][:-4] for c in STOCHASTIC_CASES],
+)
+def test_stochastic_mean_matches_reference_binary(golden, scn, params, n_pix):
+    data = np.load(os.path.join(GOLDEN_DIR, golden))
+    mu_r = data["mean"].astype(np.float64)
+    var_r = data["var"].astype(np.float64)
+    n_ref = int(data["n"])
+    cfg = RenderConfig(rays_per_chunk=1 << 14, backend="jnp", **params)
+    assert mu_r.shape == (cfg.height, cfg.width, 3)
+    scene = parse_scene(f"/root/repo/scenes/{scn}").to_scene(cfg.quirks)
+
+    # Random pixel subset (all spp samples of each chosen pixel, so the
+    # per-pixel supersample mean + quantization matches the PPM pipeline).
+    spp = cfg.samples_per_pixel
+    rng = np.random.default_rng(1)
+    pix = np.sort(rng.choice(cfg.height * cfg.width, size=n_pix,
+                             replace=False)).astype(np.uint32)
+    ids = (pix[:, None] * spp + np.arange(spp, dtype=np.uint32)).ravel()
+    ids = jnp.asarray(ids)
+
+    M = 8
+    frames = []
+    for k in range(M):
+        radiance = np.asarray(
+            render_ids_chunked(scene, cfg, jnp.uint32(k), ids)
+        ).reshape(n_pix, spp, 3).mean(axis=1)
+        frames.append(
+            quantize(radiance.reshape(-1, 1, 3)).reshape(-1, 3)
+            .astype(np.float64)
+        )
+    mu_f = np.stack(frames).mean(0)
+
+    mu_r_s = mu_r.reshape(-1, 3)[pix]
+    var_s = var_r.reshape(-1, 3)[pix]
+    # 3-sigma on the difference of two sample means (+1 LSB quantization
+    # slack); the 8-run variance estimate is itself noisy, so allow a
+    # small tail beyond the pointwise bound but require it to be tiny.
+    se = np.sqrt(var_s * (1.0 / n_ref + 1.0 / M))
+    bad = np.abs(mu_r_s - mu_f) > 3.0 * se + 1.0
+    assert bad.mean() <= 0.01, (
+        f"{bad.mean():.3%} of channel values outside 3 sigma "
+        f"(max |diff| {np.abs(mu_r_s - mu_f).max():.2f})"
+    )
+    # Aggregate bias: the global mean must agree far inside one byte.
+    assert abs(mu_r_s.mean() - mu_f.mean()) < 0.25, (
+        mu_r_s.mean(), mu_f.mean()
+    )
