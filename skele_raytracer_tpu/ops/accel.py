@@ -93,6 +93,13 @@ class ClusteredMesh(NamedTuple):
     aabb_hi: jnp.ndarray
     aabb_lo_m: jnp.ndarray
     aabb_hi_m: jnp.ndarray
+    # Prepacked culled-kernel cluster blocks (ops/pallas/culled
+    # pack_cluster_blocks layout: k10 [C, 10, 4, cs] with kof + mask
+    # folded, org [C, 1, cs] original indices). Built ONCE here: packing
+    # inside the render's chunk loop cost ~0.3 ms/chunk in layout copies
+    # of the 1.6 MB blocks (XLA re-materialized them per lax.map step).
+    k10: jnp.ndarray = None
+    org: jnp.ndarray = None
 
     def bounds(self, *, mirrored: bool):
         """(lo, hi) — mirror-extended when culling for the parity
@@ -150,11 +157,34 @@ def build_clusters(v0, v1, v2, mask, cluster_size: int = CLUSTER_SIZE) -> Cluste
         [sv0, sv1, sv2, 2.0 * sv0 - sv1, 2.0 * sv0 - sv2]
     )
 
+    # Prepacked kernel blocks (see the field docstring). NumPy mirror of
+    # intersect.pack_triangles + culled.pack_cluster_blocks.
+    e1 = (sv1 - sv0).astype(np.float32)
+    e2 = (sv2 - sv0).astype(np.float32)
+    sv0f = sv0.astype(np.float32)
+    Am = np.cross(e2, e1)
+    Bm = np.cross(e2, sv0f)
+    Cm = np.cross(sv0f, e1)
+    Dm = np.cross(e1, e2)
+    kof = np.sum(e2 * Cm, axis=1)
+    Kp = np.zeros((10, 4, tc), np.float32)
+    Kp[0:3, 0] = Am.T  # det      = d.A
+    Kp[0:3, 1] = Bm.T  # u_num   += d.B
+    Kp[3:6, 1] = -e2.T  #         -= w.e2
+    Kp[0:3, 2] = -Cm.T  # v_num   -= d.C
+    Kp[3:6, 2] = -e1.T  #         -= w.e1
+    Kp[6:9, 3] = Dm.T  # t_num    = o.D
+    Kp[9, 3] = -kof  # kof fold (against the constant 1.0 feature)
+    k10 = Kp.reshape(10, 4, C, cluster_size).transpose(2, 0, 1, 3)
+    k10 = k10 * (sm.reshape(C, 1, 1, cluster_size) > 0)  # mask fold
+    org = order_p.astype(np.float32).reshape(C, 1, cluster_size)
+
     return ClusteredMesh(
         v0=jnp.asarray(sv0), v1=jnp.asarray(sv1), v2=jnp.asarray(sv2),
         mask=jnp.asarray(sm), perm=jnp.asarray(order_p, jnp.float32),
         aabb_lo=jnp.asarray(lo_c), aabb_hi=jnp.asarray(hi_c),
         aabb_lo_m=jnp.asarray(lo_m), aabb_hi_m=jnp.asarray(hi_m),
+        k10=jnp.asarray(k10.astype(np.float32)), org=jnp.asarray(org),
     )
 
 

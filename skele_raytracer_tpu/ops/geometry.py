@@ -339,7 +339,7 @@ def intersect(o, d, scene, *, quirks: Quirks, backend: str = "jnp", live=None) -
                     # winning indices flip only on exact-tie silhouettes
                     # (6 per 64k primary rays), t <= 4e-5 relative off —
                     # for -23% (coherent) to -50% (incoherent) MXU time
-                    # (culled._mt_products). Parity keeps the full-f32
+                    # (culled._plane_dot). Parity keeps the full-f32
                     # product: its goldens are byte-compared against the
                     # reference binary.
                     mt_passes=6 if quirks.reference_triangle_test else 3,

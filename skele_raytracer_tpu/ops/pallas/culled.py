@@ -36,6 +36,15 @@ from skele_raytracer_tpu.ops.pallas.intersect import (
     ray_features,
 )
 
+def _ray_features10(o, d):
+    """[R, 10] MT feature rows [d, o x d, o, 1]: intersect.ray_features
+    plus the constant 1.0 column the kof fold contracts against
+    (pack_cluster_blocks). Emitted in ONE concatenate so no separate pad
+    op appears in the chunk loop."""
+    return jnp.concatenate(
+        [d, jnp.cross(o, d), o, jnp.ones((o.shape[0], 1), o.dtype)], axis=1)
+
+
 TILE_R = 256  # rays per tile: smaller tiles shrink the tile-union cluster
 # footprint of incoherent batches (dragon sweep: 256 beats 512 on every
 # config once the in-kernel front-to-back pretest prunes the tail)
@@ -44,14 +53,14 @@ TILE_R = 256  # rays per tile: smaller tiles shrink the tile-union cluster
 MAX_TILES = 512  # tiles per pallas_call: bounds the kernel's SMEM tables
 
 
-GROUP_C = 4  # resident mode: shortlisted clusters per loop iteration.
-# Incoherent (bounce/shadow) tiles carry wide shortlists whose cost is
-# dominated by the serialized fori_loop iteration overhead (slab test +
-# predicate + small matmul per cluster), not FLOPs. Batching G clusters
-# per iteration quarters the iteration count and widens the MT matmul to
-# [TILE_R, 9] x [9, 4*G*cs]. Correctness never depends on the per-cluster
-# pretest (a triangle outside every entered AABB cannot pass the exact MT
-# test), so whole groups are gated on ANY ray entering ANY member.
+GROUP_C = 2  # resident mode: shortlisted clusters per loop iteration.
+# Each group member is processed by its own per-plane mt_block (no width
+# concatenation — see _plane_dot), so the group size only sets the
+# early-exit granularity and the loop/settle amortization. Re-swept after
+# the per-plane rewrite: G=2 wins or ties every dragon config (parity
+# shadows 0.045 -> 0.038 s vs G=4; gillum16 0.298 -> 0.292; clean
+# shadows flat), consistent with finer front-to-back exit granularity
+# now that wasted group width no longer trades against iteration count.
 
 
 SUB_T = 1  # resident mode: ray subtiles processed per grid step.
@@ -105,15 +114,22 @@ def _batched_launch(launch, order, counts, ent, feats):
     return crop(outs)
 
 
-def _mt_products(feats, K, width, passes):
-    """[R, 4, width] Moller-Trumbore plane products.
+def _plane_dot(feats, K, passes):
+    """[R, w] product of ray features against ONE MT plane block [10, w].
 
-    passes=6: full-f32 MXU matmul (Precision.HIGHEST) — bitwise anchor.
-    passes=3: bf16x3 with the lo*lo term dropped — halves the MXU time
-    (the K=9 contraction pads 14x, so the matmul dominates the culled
-    kernels). Measured on the dragon bounce wave: identical hit records
-    and winning indices, t perturbed <= 4e-5 relative on 2.8% of rays —
-    used only for incoherent (bounce/shadow) waves, never on the
+    The kernels issue FOUR of these per cluster block (det, u_num, v_num,
+    t_num) instead of one 4x-wide matmul: the wide form's
+    `prods.reshape(-1, 4, w)` + per-plane slicing is a Mosaic RELAYOUT of
+    the whole [R, 4w] product and was measured to dominate the kernel
+    (bounce-wave launch 4.78 -> 1.42 ms when removed). Per-plane outputs
+    feed the epilogue directly from registers.
+
+    passes=6: full-f32 MXU matmul (Precision.HIGHEST) — the exactness
+    anchor. passes=3: bf16x3 with the lo*lo term dropped — halves the
+    MXU time (the K=10 contraction pads ~13x, so matmul passes dominate
+    the MXU cost). Measured on the dragon bounce wave: identical hit
+    records and winning indices, t perturbed <= 4e-5 relative on 2.8% of
+    rays — used only for incoherent (bounce/shadow) waves, never on the
     parity-golden-facing coherent path.
     """
     dims = (((1,), (0,)), ((), ()))
@@ -124,14 +140,46 @@ def _mt_products(feats, K, width, passes):
         K_lo = (K - K_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         dg = lambda a, b: jax.lax.dot_general(
             a, b, dims, preferred_element_type=jnp.float32)
-        prods = dg(f_hi, K_hi) + (dg(f_hi, K_lo) + dg(f_lo, K_hi))
-    else:
-        prods = jax.lax.dot_general(
-            feats, K, dims,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-    return prods.reshape(-1, 4, width)
+        return dg(f_hi, K_hi) + (dg(f_hi, K_lo) + dg(f_lo, K_hi))
+    return jax.lax.dot_general(
+        feats, K, dims,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def pack_cluster_blocks(mesh: accel.ClusteredMesh):
+    """(k10 [C, 10, 4, cs], org [C, 1, cs]) — the culled kernels' cluster
+    blocks, with two epilogue terms FOLDED into the matmul constants:
+
+    * row 9 (against a constant 1.0 feature) carries -kof into the t
+      column, so t_num needs no in-kernel subtraction;
+    * padding/masked triangles have ALL-ZERO columns, so det = 0 fails
+      the |det| >= eps test and the mask compare disappears.
+
+    The fold moves the kof subtraction inside the matmul accumulation,
+    which can perturb t by an ulp vs the subtract-after form (and rides
+    the bf16x3 split on incoherent waves) — winning indices and hit
+    flags are unchanged (kernel-lab bitwise check), and every consumer
+    path already tolerates the mt_passes=3 t class.
+
+    Meshes built by accel.build_clusters carry the blocks PREPACKED
+    (mesh.k10/org, NumPy at build time): packing here put ~0.3 ms/chunk
+    of block re-materialization + layout copies inside the render's
+    chunk loop. The jnp fallback below serves ad-hoc meshes.
+    """
+    if getattr(mesh, "k10", None) is not None:
+        return mesh.k10, mesh.org
+    C = mesh.n_clusters
+    cs = mesh.v0.shape[0] // C
+    K, kof = pack_triangles(mesh.v0, mesh.v1, mesh.v2)  # [9,4,Tc], [Tc]
+    kc = K.reshape(9, 4, C, cs).transpose(2, 0, 1, 3)  # [C, 9, 4, cs]
+    row9 = jnp.zeros((C, 1, 4, cs), jnp.float32)
+    row9 = row9.at[:, 0, 3, :].set(-kof.reshape(C, cs))
+    k10 = jnp.concatenate([kc, row9], axis=1)  # [C, 10, 4, cs]
+    k10 = k10 * (mesh.mask.reshape(C, 1, 1, cs) > 0)
+    org = mesh.perm.astype(jnp.float32).reshape(C, 1, cs)
+    return k10, org
 
 
 def _culled_kernel(
@@ -141,19 +189,18 @@ def _culled_kernel(
     # SMEM input
     ent_ref,  # [n_tiles, C+1] f32 sorted cluster entry distances
     # VMEM inputs
-    f_ref,  # [TILE_R, 9]
+    f_ref,  # [TILE_R, 10] ray features + constant 1.0 (kof-fold feature)
     lo_ref,  # [C, 3] cluster AABB lo
     hi_ref,  # [C, 3] cluster AABB hi
     # HBM inputs (manual DMA)
-    kc_ref,  # [C, 9, 4, cs]
-    aux_ref,  # [C, 3, cs]  (row 0 = k offsets, row 1 = mask, row 2 = orig index)
+    kc_ref,  # [C, 10, 4, cs] folded blocks (pack_cluster_blocks)
+    org_ref,  # [C, 1, cs] original triangle index per sorted row
     # outputs
     t_ref,  # [TILE_R, 1]
     idx_ref,  # [TILE_R, 1]  ORIGINAL triangle index of the winner
     # scratch
-    done_ref,  # SMEM [1, 1] int32 — 1 once no later cluster can improve
-    kbuf,  # [2, 9, 4, cs]
-    abuf,  # [2, 3, cs]
+    kbuf,  # [2, 10, 4, cs]
+    obuf,  # [2, 1, cs]
     sems,  # DMA sems [2, 2]
     *,
     sign,
@@ -173,7 +220,7 @@ def _culled_kernel(
             s * tr,
             tr,
             shortlist_ref, count_ref, ent_ref, f_ref, lo_ref, hi_ref,
-            kc_ref, aux_ref, t_ref, idx_ref, done_ref, kbuf, abuf, sems,
+            kc_ref, org_ref, t_ref, idx_ref, kbuf, obuf, sems,
             sign=sign, t_clip=t_clip, cs=cs, resident=resident,
             allow_negative=allow_negative, C_total=C_total,
             group_c=group_c, mt_passes=mt_passes,
@@ -185,146 +232,106 @@ def _culled_tile(
     r0,  # first ray row of this tile within the grid step's block
     tr,  # rays per tile
     shortlist_ref, count_ref, ent_ref, f_ref, lo_ref, hi_ref,
-    kc_ref, aux_ref, t_ref, idx_ref, done_ref, kbuf, abuf, sems,
+    kc_ref, org_ref, t_ref, idx_ref, kbuf, obuf, sems,
     *,
     sign, t_clip, cs, resident, allow_negative, C_total, group_c=GROUP_C,
     mt_passes=6,
 ):
     n_active = count_ref[i]
-    feats = f_ref[pl.ds(r0, tr), :]
+    feats = f_ref[pl.ds(r0, tr), :]  # [tr, 10]
     d = feats[:, 0:3]
     o = feats[:, 6:9]
-
-    t_ref[pl.ds(r0, tr), 0] = jnp.full((tr,), _BIG, jnp.float32)
-    idx_ref[pl.ds(r0, tr), 0] = jnp.full((tr,), _BIG_I, jnp.int32)
-    done_ref[0, 0] = 0
 
     def dma(slot, pos):
         ci = shortlist_ref[i, pos]
         return (
             pltpu.make_async_copy(kc_ref.at[ci], kbuf.at[slot], sems.at[slot, 0]),
-            pltpu.make_async_copy(aux_ref.at[ci], abuf.at[slot], sems.at[slot, 1]),
+            pltpu.make_async_copy(org_ref.at[ci], obuf.at[slot], sems.at[slot, 1]),
         )
-
-    if not resident:
-
-        @pl.when(n_active > 0)
-        def _():
-            for c in dma(0, 0):
-                c.start()
 
     inv_d = 1.0 / jnp.where(jnp.abs(d) > 1e-30, d, 1e-30)
 
-    if resident:
-        # Per-ray settle bound for the early exit: a ray can never hit
-        # past its EXIT from the root AABB (every cluster is inside it,
-        # so a cluster's per-ray entry <= the root exit). min(t, exit)
-        # lets tiles full of MISS rays terminate too — without it a
-        # single miss (t stuck at _BIG) pins the tile to its full
-        # shortlist.
-        root_lo = jnp.min(lo_ref[:], axis=0)[None, :]
-        root_hi = jnp.max(hi_ref[:], axis=0)[None, :]
-        rt0 = (root_lo - o) * inv_d
-        rt1 = (root_hi - o) * inv_d
-        texit = jnp.min(jnp.maximum(rt0, rt1), axis=1)  # [R]
+    def mt_block(Kc, orig_row, t_cur, i_cur):
+        """Per-plane MT test of ONE cluster block Kc [10, 4, cs] +
+        nearest-t / tie-break update on the (t, idx) carries.
 
-    def body(p, _):
-        # `resident` (static): cluster blocks live wholly in VMEM — read
-        # directly by dynamic leading-axis index, zero DMA (megakernel.py
-        # RESIDENT_BUDGET_BYTES rationale).
-        if resident:
-            # Early exit: shortlists are sorted by tile-min entry, so once
-            # the NEXT cluster's entry exceeds every ray's current best t,
-            # no later cluster can contain a closer hit (per-ray entry >=
-            # tile-min entry >= next entry > t). Remaining iterations
-            # reduce to this one scalar test. Resident mode only — the
-            # streaming path pre-issues DMAs it would then have to drain.
-            @pl.when(done_ref[0, 0] == 0)
-            def _():
-                _culled_step(p)
-        else:
-            _culled_step(p)
-        return 0
+        Four narrow matmuls (one per MT plane, `_plane_dot` docstring)
+        whose [tr, cs] outputs feed the epilogue straight from registers.
+        kof and the triangle mask are folded into Kc
+        (pack_cluster_blocks), so the epilogue is: rational bary tests
+        (u >= 0 <=> u_num*det >= 0, u+v <= 1 <=> (u_num+v_num)*det <=
+        det^2 — no guarded reciprocal, u <= 1 implied by v >= 0 &
+        u+v <= 1; det^2 would only overflow at scene scales ~1e19 where
+        f32 MT is already unusable), one reciprocal for t, the clip, and
+        the two min-reductions.
 
-    def _slab_pend(ci):
-        # Slab pretest vs the running nearest t (shortlists arrive
-        # front-to-back from the host): the cluster's entry distance is a
-        # lower bound on any t inside it — negative entries included, so
-        # the prune is valid under parity's negative-t acceptance too.
-        lo = lo_ref[pl.ds(ci, 1), :]  # [1, 3]
-        hi = hi_ref[pl.ds(ci, 1), :]
-        t0 = (lo - o) * inv_d
-        t1 = (hi - o) * inv_d
-        tmin = jnp.max(jnp.minimum(t0, t1), axis=1)
-        tmax = jnp.min(jnp.maximum(t0, t1), axis=1)
-        enter = tmin <= tmax
-        if not allow_negative:
-            enter = enter & (tmax > (t_clip or 0.0))
-        return enter & (tmin <= t_ref[pl.ds(r0, tr), 0])
-
-    def _mt_update(K, kof_blk, msk_blk, orig_row, width):
-        """One Moller-Trumbore matmul over `width` packed triangle columns
-        + nearest-t / tie-break update. K: [9, 4*width].
-
-        The barycentric bounds are tested in RATIONAL space (multiply
-        through by det: u >= 0 <=> u_num*det >= 0, u+v <= 1 <=>
-        (u_num+v_num)*det <= det^2) — no guarded reciprocal, no u/v
-        materialization, and u <= 1 is implied by v >= 0 & u+v <= 1.
-        det^2 would only overflow for scene scales (~1e19) where f32 MT
-        is already unusable. t still pays one unguarded reciprocal
-        (IEEE inf/nan lanes are masked by `valid`)."""
-        prods = _mt_products(feats, K, width, mt_passes)
-        det = prods[:, 0, :]
-        u_num = sign * prods[:, 1, :]
-        v_num = prods[:, 2, :]
-        t_num = prods[:, 3, :] - kof_blk[None, :]
+        Exact-t ties resolve to the MINIMUM ORIGINAL index — the
+        reference's strict-< scan keeps the first triangle in file order
+        (src/raytrace.h:176-186), which Morton reordering would
+        otherwise permute. The tie-break is gated on t_blk < _BIG so
+        all-miss blocks never stamp junk indices onto miss rays
+        (tiling-dependent streaming-vs-resident divergence otherwise)."""
+        det = _plane_dot(feats, Kc[:, 0, :], mt_passes)
+        u_num = sign * _plane_dot(feats, Kc[:, 1, :], mt_passes)
+        v_num = _plane_dot(feats, Kc[:, 2, :], mt_passes)
+        t_num = _plane_dot(feats, Kc[:, 3, :], mt_passes)
 
         ok = jnp.abs(det) >= TRIANGLE_DET_EPS
-        # Rational-space bary tests (docstring): u >= 0 <=> u_num*det >= 0,
-        # v >= 0 likewise, u+v <= 1 <=> (u_num+v_num)*det <= det^2; u <= 1
-        # is implied by v >= 0 & u+v <= 1. Thins the VPU epilogue: one
-        # reciprocal + one multiply for t on candidate lanes instead of a
-        # guarded div + two multiplies + five compares in quotient space.
         det2 = det * det
         valid = (
             ok
             & (u_num * det >= 0)
             & (v_num * det >= 0)
             & ((u_num + v_num) * det <= det2)
-            & (msk_blk[None, :] > 0)
         )
         t = t_num / jnp.where(ok, det, 1.0)
         if t_clip is not None:
             valid = valid & (t > t_clip)
         t_all = jnp.where(valid, t, _BIG)
 
-        # Exact-t ties resolve to the MINIMUM ORIGINAL index — the
-        # reference's strict-< scan keeps the first triangle in file
-        # order (src/raytrace.h:176-186), which Morton reordering would
-        # otherwise permute. aux row 2 carries each sorted row's
-        # original index.
         t_blk = jnp.min(t_all, axis=1)
         is_min = t_all == t_blk[:, None]
-        orig_f = orig_row[None, :]  # [1, width] original indices (f32)
         orig_blk = jnp.min(
-            jnp.where(is_min, orig_f, jnp.float32(_BIG_I)), axis=1
+            jnp.where(is_min, orig_row[None, :], jnp.float32(_BIG_I)), axis=1
         ).astype(jnp.int32)
-        # Tie-break only between REAL hits: an all-_BIG block would
-        # otherwise "win" the _BIG == _BIG tie and stamp the group's
-        # minimum original index onto MISS rays — junk that depends on
-        # which clusters happen to share the tile (tiling-dependent,
-        # streaming-vs-resident-divergent). Gating on t_blk < _BIG keeps
-        # miss rays at the deterministic _BIG_I sentinel.
-        t_cur = t_ref[pl.ds(r0, tr), 0]
-        i_cur = idx_ref[pl.ds(r0, tr), 0]
         better = (t_blk < t_cur) | (
             (t_blk < _BIG) & (t_blk == t_cur) & (orig_blk < i_cur)
         )
-        t_ref[pl.ds(r0, tr), 0] = jnp.where(better, t_blk, t_cur)
-        idx_ref[pl.ds(r0, tr), 0] = jnp.where(better, orig_blk, i_cur)
+        return (jnp.where(better, t_blk, t_cur),
+                jnp.where(better, orig_blk, i_cur))
 
-    def _culled_step(p):
-        if not resident:
+    t0 = jnp.full((tr,), _BIG, jnp.float32)
+    i0 = jnp.full((tr,), _BIG_I, jnp.int32)
+
+    if not resident:
+        # Streaming: double-buffered DMA chain, one cluster per step,
+        # slab-pretest-gated MT, (t, idx) kept in the output refs.
+        t_ref[pl.ds(r0, tr), 0] = t0
+        idx_ref[pl.ds(r0, tr), 0] = i0
+
+        @pl.when(n_active > 0)
+        def _():
+            for c in dma(0, 0):
+                c.start()
+
+        def _slab_pend(ci):
+            # Slab pretest vs the running nearest t (shortlists arrive
+            # front-to-back from the host): the cluster's entry distance
+            # is a lower bound on any t inside it — negative entries
+            # included, so the prune is valid under parity's negative-t
+            # acceptance too.
+            lo = lo_ref[pl.ds(ci, 1), :]  # [1, 3]
+            hi = hi_ref[pl.ds(ci, 1), :]
+            t0s = (lo - o) * inv_d
+            t1s = (hi - o) * inv_d
+            tmin = jnp.max(jnp.minimum(t0s, t1s), axis=1)
+            tmax = jnp.min(jnp.maximum(t0s, t1s), axis=1)
+            enter = tmin <= tmax
+            if not allow_negative:
+                enter = enter & (tmax > (t_clip or 0.0))
+            return enter & (tmin <= t_ref[pl.ds(r0, tr), 0])
+
+        def body(p, _):
             ci = shortlist_ref[i, p]
             slot = jax.lax.rem(p, 2)
             nxt = jax.lax.rem(p + 1, 2)
@@ -342,51 +349,82 @@ def _culled_tile(
             @pl.when(jnp.any(pend))
             def _():
                 slot_ = jax.lax.rem(p, 2)
-                _mt_update(
-                    kbuf[slot_].reshape(9, 4 * cs),
-                    abuf[slot_, 0, :], abuf[slot_, 1, :], abuf[slot_, 2, :],
-                    cs,
+                t_n, i_n = mt_block(
+                    kbuf[slot_], obuf[slot_, 0, :],
+                    t_ref[pl.ds(r0, tr), 0], idx_ref[pl.ds(r0, tr), 0],
                 )
+                t_ref[pl.ds(r0, tr), 0] = t_n
+                idx_ref[pl.ds(r0, tr), 0] = i_n
+
             return 0
 
-        # Resident: one iteration covers group_c shortlist positions.
-        # Positions past n_active hold the argsort tail (clusters no ray
-        # enters — their pretests fail and their triangles cannot pass MT),
-        # and the final clamp duplicates the last cluster, which only
-        # re-derives identical hits; both are harmless.
+        jax.lax.fori_loop(0, n_active, body, 0)
+        return
+
+    # --- resident: cluster blocks live wholly in VMEM — read directly by
+    # dynamic leading-axis index, zero DMA (megakernel.py
+    # RESIDENT_BUDGET_BYTES rationale). No slab pretest / any() gate:
+    # post-footprint-sort shortlists are so narrow (dragon bounce tiles:
+    # ~1 group) that a group is nearly always entered; the exact MT test
+    # subsumes the pretest for correctness. Positions past n_active hold
+    # the argsort tail (clusters no ray enters) and the index clamp
+    # duplicates the last cluster — both only re-derive identical or
+    # impossible hits, harmless.
+    def group(p, t_cur, i_cur):
         base = p * group_c
-        cis = [
-            shortlist_ref[i, jnp.minimum(base + g, C_total - 1)]
-            for g in range(group_c)
-        ]
-        # No slab pretest, no any() gate: post-footprint-sort shortlists
-        # are so narrow (dragon bounce tiles: ~1 group) that the group is
-        # nearly always entered; the [tr,3] slab tests, the cross-lane
-        # any() reduction, and the @pl.when branch were pure fixed
-        # overhead on every iteration that fired anyway. The exact MT
-        # test subsumes the pretest for correctness.
-        K = jnp.concatenate(
-            [kc_ref[ci] for ci in cis], axis=2
-        ).reshape(9, 4 * group_c * cs)
-        aux_g = jnp.concatenate([aux_ref[ci] for ci in cis], axis=1)
-        _mt_update(K, aux_g[0, :], aux_g[1, :], aux_g[2, :], group_c * cs)
+        for g in range(group_c):
+            ci = shortlist_ref[i, jnp.minimum(base + g, C_total - 1)]
+            t_cur, i_cur = mt_block(kc_ref[ci], org_ref[ci][0], t_cur, i_cur)
+        return t_cur, i_cur
 
-        # ent_ref is padded with _BIG past the shortlist; clamp the next
-        # group's start into the [0, C] table.
-        settle = jnp.max(jnp.minimum(t_ref[pl.ds(r0, tr), 0], texit))
-        nxt_pos = jnp.minimum(base + group_c, ent_ref.shape[1] - 1)
+    # SPLIT control path: p90 of footprint-sorted bounce tiles carry a
+    # single-group shortlist — a straight-line group with no
+    # fori_loop/cond/settle machinery serves them; longer shortlists take
+    # the early-exit loop below.
+    t_ref[pl.ds(r0, tr), 0] = t0
+    idx_ref[pl.ds(r0, tr), 0] = i0
 
-        @pl.when(ent_ref[i, nxt_pos] > settle)
-        def _():
-            done_ref[0, 0] = 1
+    @pl.when((n_active > 0) & (n_active <= group_c))
+    def _():
+        t_f, i_f = group(0, t0, i0)
+        t_ref[pl.ds(r0, tr), 0] = t_f
+        idx_ref[pl.ds(r0, tr), 0] = i_f
 
-        return 0
-
-    if resident:
+    @pl.when(n_active > group_c)
+    def _():
+        # Per-ray settle bound for the early exit: a ray can never hit
+        # past its EXIT from the root AABB (every cluster is inside it,
+        # so a cluster's per-ray entry <= the root exit). min(t, exit)
+        # lets tiles full of MISS rays terminate too. Early exit:
+        # shortlists are sorted by tile-min entry, so once the NEXT
+        # group's entry exceeds every ray's settle bound, no later
+        # cluster can contain a closer hit.
+        root_lo = jnp.min(lo_ref[:], axis=0)[None, :]
+        root_hi = jnp.max(hi_ref[:], axis=0)[None, :]
+        rt0 = (root_lo - o) * inv_d
+        rt1 = (root_hi - o) * inv_d
+        texit = jnp.min(jnp.maximum(rt0, rt1), axis=1)  # [R]
         n_iters = (n_active + group_c - 1) // group_c
-    else:
-        n_iters = n_active
-    jax.lax.fori_loop(0, n_iters, body, 0)
+
+        def body(p, carry):
+            t_cur, i_cur, done = carry
+
+            def live(_):
+                t_n, i_n = group(p, t_cur, i_cur)
+                settle = jnp.max(jnp.minimum(t_n, texit))
+                # ent_ref is padded with _BIG past the shortlist; clamp
+                # the next group's start into the [0, C] table.
+                nxt_pos = jnp.minimum(
+                    (p + 1) * group_c, ent_ref.shape[1] - 1)
+                return t_n, i_n, jnp.where(
+                    ent_ref[i, nxt_pos] > settle, 1, done)
+
+            return jax.lax.cond(done == 0, live,
+                                lambda _: (t_cur, i_cur, done), 0)
+
+        t_f, i_f, _ = jax.lax.fori_loop(0, n_iters, body, (t0, i0, 0))
+        t_ref[pl.ds(r0, tr), 0] = t_f
+        idx_ref[pl.ds(r0, tr), 0] = i_f
 
 
 N_SUPER = 16  # footprint-key superclusters (high bits of the sort key)
@@ -491,7 +529,7 @@ def triangle_nearest_culled(
     their outputs are arbitrary (miss) and masked off by the caller.
     """
     R = o.shape[0]
-    feats = ray_features(o, d)
+    feats = _ray_features10(o, d)
     if reorder:
         # 1-D gathers/scatters are slow on TPU (sublane-serial); keep the
         # permutation traffic to ONE [R,9] row gather in (the features,
@@ -530,9 +568,9 @@ def triangle_nearest_culled(
 
 def _culled_from_feats(feats, mesh: accel.ClusteredMesh, *, quirks: Quirks, live=None,
                        group_c=None, mt_passes=6):
-    """Kernel dispatch on precomputed ray features [R, 9] (columns: d,
-    o x d, o — intersect.ray_features layout, which both the MT matmul and
-    the slab pretest consume)."""
+    """Kernel dispatch on precomputed ray features [R, 10] (columns: d,
+    o x d, o, 1 — _ray_features10 layout, which the MT matmul, the kof
+    fold, and the slab pretest consume)."""
     R = feats.shape[0]
     d = feats[:, 0:3]
     o = feats[:, 6:9]
@@ -576,17 +614,8 @@ def _culled_from_feats(feats, mesh: accel.ClusteredMesh, *, quirks: Quirks, live
         axis=1,
     )  # [n_tiles, C+1]
 
-    # --- per-cluster constant blocks -------------------------------------
-    K, kof = pack_triangles(mesh.v0, mesh.v1, mesh.v2)  # [9,4,Tc], [Tc]
-    kc = K.reshape(9, 4, C, cs).transpose(2, 0, 1, 3)  # [C, 9, 4, cs]
-    aux = jnp.stack(
-        [
-            kof.reshape(C, cs),
-            mesh.mask.reshape(C, cs),
-            mesh.perm.astype(jnp.float32).reshape(C, cs),
-        ],
-        axis=1,
-    )  # [C, 3, cs]
+    # --- per-cluster constant blocks (kof + mask folded in) --------------
+    k10, org = pack_cluster_blocks(mesh)
     feats = _pad_rows(feats, rp, fill=1.0)
 
     mesh_space = pltpu.VMEM if resident else pl.ANY
@@ -597,7 +626,7 @@ def _culled_from_feats(feats, mesh: accel.ClusteredMesh, *, quirks: Quirks, live
             grid=(order_b.shape[0] // sub_t,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # ent [tiles, C+1]
-                pl.BlockSpec((TILE_R * sub_t, 9), lambda i, *_: (i, 0),
+                pl.BlockSpec((TILE_R * sub_t, 10), lambda i, *_: (i, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # lo
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # hi
@@ -611,9 +640,8 @@ def _culled_from_feats(feats, mesh: accel.ClusteredMesh, *, quirks: Quirks, live
                              memory_space=pltpu.VMEM),
             ),
             scratch_shapes=[
-                pltpu.SMEM((1, 1), jnp.int32),
-                pltpu.VMEM((2, 9, 4, cs), jnp.float32),
-                pltpu.VMEM((2, 3, cs), jnp.float32),
+                pltpu.VMEM((2, 10, 4, cs), jnp.float32),
+                pltpu.VMEM((2, 1, cs), jnp.float32),
                 pltpu.SemaphoreType.DMA((2, 2)),
             ],
         )
@@ -632,7 +660,7 @@ def _culled_from_feats(feats, mesh: accel.ClusteredMesh, *, quirks: Quirks, live
                 jax.ShapeDtypeStruct((feats_b.shape[0], 1), jnp.int32),
             ),
             interpret=_interpret(),
-        )(order_b, counts_b, ent_b, feats_b, cull_lo, cull_hi, kc, aux)
+        )(order_b, counts_b, ent_b, feats_b, cull_lo, cull_hi, k10, org)
 
     t, idx = _batched_launch(launch, order, counts, ent_sorted, feats)
     t, idx = t[:R, 0], idx[:R, 0]
@@ -657,19 +685,19 @@ def _occluded_kernel(
     # SMEM input
     ent_ref,  # [n_tiles, C+1] sorted entry distances (early-exit bound)
     # VMEM inputs
-    fb_ref,  # [TILE_R, 10] ray features + per-ray max t (col 9, _BIG = none)
+    fb_ref,  # [TILE_R, 11] ray features + 1.0 fold feature (col 9)
+    #          + per-ray max t (col 10, _BIG = none)
     lo_ref,  # [C, 3]
     hi_ref,  # [C, 3]
     # HBM (or VMEM when resident)
-    kc_ref,  # [C, 9, 4, cs]
-    aux_ref,  # [C, 3, cs]
+    kc_ref,  # [C, 10, 4, cs] folded blocks (pack_cluster_blocks) — the
+    #          any-hit test needs NO aux at all: kof and mask are folded
+    #          and no winner index is reported
     # output
     occ_ref,  # [TILE_R, 1] f32 1.0 = occluded
     # scratch
-    done_ref,  # SMEM [1, 1] int32
-    kbuf,
-    abuf,
-    sems,
+    kbuf,  # [2, 10, 4, cs]
+    sems,  # DMA sems [2]
     *,
     sign,
     t_clip,
@@ -681,10 +709,9 @@ def _occluded_kernel(
 ):
     """ANY-hit variant of _culled_kernel for shadow queries (the
     reference's shadow() is a boolean scan, src/utils.h:42-76): no
-    nearest-t bookkeeping, clusters are skipped for rays already
-    occluded, and the whole tile stops at the first iteration that
-    leaves every ray occluded — shadow rays terminate at the FIRST
-    blocker instead of paying for the closest one."""
+    nearest-t bookkeeping, and the loop path stops at the first
+    iteration that leaves every ray occluded — shadow rays terminate at
+    the FIRST blocker instead of paying for the closest one."""
     C_total = lo_ref.shape[0]
     tr = fb_ref.shape[0] // sub_t
     for s in range(sub_t):
@@ -693,7 +720,7 @@ def _occluded_kernel(
             s * tr,
             tr,
             shortlist_ref, count_ref, ent_ref, fb_ref, lo_ref, hi_ref,
-            kc_ref, aux_ref, occ_ref, done_ref, kbuf, abuf, sems,
+            kc_ref, occ_ref, kbuf, sems,
             sign=sign, t_clip=t_clip, cs=cs, resident=resident,
             C_total=C_total, group_c=group_c, mt_passes=mt_passes,
         )
@@ -702,79 +729,39 @@ def _occluded_kernel(
 def _occ_tile(
     i, r0, tr,
     shortlist_ref, count_ref, ent_ref, fb_ref, lo_ref, hi_ref,
-    kc_ref, aux_ref, occ_ref, done_ref, kbuf, abuf, sems,
+    kc_ref, occ_ref, kbuf, sems,
     *,
     sign, t_clip, cs, resident, C_total, group_c=GROUP_C, mt_passes=6,
 ):
     n_active = count_ref[i]
     fb = fb_ref[pl.ds(r0, tr), :]
-    feats = fb[:, 0:9]
-    bnd = fb[:, 9]
+    feats = fb[:, 0:10]  # incl. the 1.0 kof-fold column
+    bnd = fb[:, 10]
     d = feats[:, 0:3]
     o = feats[:, 6:9]
-
-    occ_ref[pl.ds(r0, tr), 0] = jnp.zeros((tr,), jnp.float32)
-    done_ref[0, 0] = 0
 
     def dma(slot, pos):
         ci = shortlist_ref[i, pos]
         return (
-            pltpu.make_async_copy(kc_ref.at[ci], kbuf.at[slot], sems.at[slot, 0]),
-            pltpu.make_async_copy(aux_ref.at[ci], abuf.at[slot], sems.at[slot, 1]),
+            pltpu.make_async_copy(kc_ref.at[ci], kbuf.at[slot],
+                                  sems.at[slot]),
         )
-
-    if not resident:
-
-        @pl.when(n_active > 0)
-        def _():
-            for c in dma(0, 0):
-                c.start()
 
     inv_d = 1.0 / jnp.where(jnp.abs(d) > 1e-30, d, 1e-30)
 
-    if resident:
-        # per-ray settle bound: no blocker can sit past the root-AABB
-        # exit (see _culled_kernel) or past the light distance
-        root_lo = jnp.min(lo_ref[:], axis=0)[None, :]
-        root_hi = jnp.max(hi_ref[:], axis=0)[None, :]
-        rt0 = (root_lo - o) * inv_d
-        rt1 = (root_hi - o) * inv_d
-        texit = jnp.minimum(
-            jnp.min(jnp.maximum(rt0, rt1), axis=1), bnd
-        )  # [R]
-
-    def body(p, _):
-        if resident:
-
-            @pl.when(done_ref[0, 0] == 0)
-            def _():
-                _occ_step(p)
-        else:
-            _occ_step(p)
-        return 0
-
-    def _slab_pend(ci):
-        lo = lo_ref[pl.ds(ci, 1), :]
-        hi = hi_ref[pl.ds(ci, 1), :]
-        t0 = (lo - o) * inv_d
-        t1 = (hi - o) * inv_d
-        tmin = jnp.max(jnp.minimum(t0, t1), axis=1)
-        tmax = jnp.min(jnp.maximum(t0, t1), axis=1)
-        enter = (tmin <= tmax) & (tmax > t_clip) & (tmin < bnd)
-        return enter & (occ_ref[pl.ds(r0, tr), 0] < 0.5)
-
-    def _occ_update(K, kof_blk, msk_blk, width):
-        prods = _mt_products(feats, K, width, mt_passes)
-        det = prods[:, 0, :]
-        u_num = sign * prods[:, 1, :]
-        v_num = prods[:, 2, :]
-        t_num = prods[:, 3, :] - kof_blk[None, :]
+    def occ_block(Kc, occ_cur):
+        """Per-plane any-hit MT test of one cluster block Kc [10, 4, cs]
+        (see _culled_tile.mt_block for the per-plane rationale).
+        Rational-space throughout — the t-window test too: t > t_clip
+        <=> t_num*det > t_clip*det^2 and t < bnd <=> t_num*det <
+        bnd*det^2 — the any-hit kernel never needs t itself, so there is
+        no division at all."""
+        det = _plane_dot(feats, Kc[:, 0, :], mt_passes)
+        u_num = sign * _plane_dot(feats, Kc[:, 1, :], mt_passes)
+        v_num = _plane_dot(feats, Kc[:, 2, :], mt_passes)
+        t_num = _plane_dot(feats, Kc[:, 3, :], mt_passes)
 
         ok = jnp.abs(det) >= TRIANGLE_DET_EPS
-        # Rational-space tests — see _mt_update. The t-window test also
-        # stays rational: t > t_clip <=> t_num*det > t_clip*det^2 and
-        # t < bnd <=> t_num*det < bnd*det^2 — the any-hit kernel never
-        # needs t itself, so the division disappears entirely.
         det2 = det * det
         td = t_num * det
         valid = (
@@ -782,16 +769,33 @@ def _occ_tile(
             & (u_num * det >= 0)
             & (v_num * det >= 0)
             & ((u_num + v_num) * det <= det2)
-            & (msk_blk[None, :] > 0)
             & (td > t_clip * det2) & (td < bnd[:, None] * det2)
         )
-        occ_ref[pl.ds(r0, tr), 0] = jnp.maximum(
-            occ_ref[pl.ds(r0, tr), 0],
-            jnp.any(valid, axis=1).astype(jnp.float32),
-        )
+        return jnp.maximum(occ_cur, jnp.any(valid, axis=1)
+                           .astype(jnp.float32))
 
-    def _occ_step(p):
-        if not resident:
+    occ0 = jnp.zeros((tr,), jnp.float32)
+
+    if not resident:
+        # Streaming: double-buffered DMA chain, slab-pretest-gated.
+        occ_ref[pl.ds(r0, tr), 0] = occ0
+
+        @pl.when(n_active > 0)
+        def _():
+            for c in dma(0, 0):
+                c.start()
+
+        def _slab_pend(ci):
+            lo = lo_ref[pl.ds(ci, 1), :]
+            hi = hi_ref[pl.ds(ci, 1), :]
+            t0s = (lo - o) * inv_d
+            t1s = (hi - o) * inv_d
+            tmin = jnp.max(jnp.minimum(t0s, t1s), axis=1)
+            tmax = jnp.min(jnp.maximum(t0s, t1s), axis=1)
+            enter = (tmin <= tmax) & (tmax > t_clip) & (tmin < bnd)
+            return enter & (occ_ref[pl.ds(r0, tr), 0] < 0.5)
+
+        def body(p, _):
             slot = jax.lax.rem(p, 2)
             nxt = jax.lax.rem(p + 1, 2)
 
@@ -808,50 +812,60 @@ def _occ_tile(
             @pl.when(jnp.any(pend))
             def _():
                 slot_ = jax.lax.rem(p, 2)
-                _occ_update(
-                    kbuf[slot_].reshape(9, 4 * cs),
-                    abuf[slot_, 0, :], abuf[slot_, 1, :], cs,
-                )
+                occ_ref[pl.ds(r0, tr), 0] = occ_block(
+                    kbuf[slot_], occ_ref[pl.ds(r0, tr), 0])
+
             return 0
 
-        # Resident: group_c shortlist positions per iteration (see
-        # _culled_kernel — tail/clamped clusters cannot produce MT hits).
+        jax.lax.fori_loop(0, n_active, body, 0)
+        return
+
+    # --- resident (see _culled_tile for the split-path rationale) --------
+    def group(p, occ_cur):
         base = p * group_c
-        cis = [
-            shortlist_ref[i, jnp.minimum(base + g, C_total - 1)]
-            for g in range(group_c)
-        ]
-        pend_any = _slab_pend(cis[0])
-        for ci in cis[1:]:
-            pend_any = pend_any | _slab_pend(ci)
+        for g in range(group_c):
+            ci = shortlist_ref[i, jnp.minimum(base + g, C_total - 1)]
+            occ_cur = occ_block(kc_ref[ci], occ_cur)
+        return occ_cur
 
-        @pl.when(jnp.any(pend_any))
-        def _():
-            K = jnp.concatenate(
-                [kc_ref[ci] for ci in cis], axis=2
-            ).reshape(9, 4 * group_c * cs)
-            aux_g = jnp.concatenate([aux_ref[ci] for ci in cis], axis=1)
-            _occ_update(K, aux_g[0, :], aux_g[1, :], group_c * cs)
+    occ_ref[pl.ds(r0, tr), 0] = occ0
 
-        # all occluded, or no later cluster can sit inside any ray's
-        # remaining (t_clip, bnd) window
-        all_occ = jnp.min(occ_ref[pl.ds(r0, tr), 0]) > 0.5
-        nxt_pos = jnp.minimum(base + group_c, ent_ref.shape[1] - 1)
-        no_more = ent_ref[i, nxt_pos] > jnp.max(
-            jnp.where(occ_ref[pl.ds(r0, tr), 0] > 0.5, 0.0, texit)
-        )
+    @pl.when((n_active > 0) & (n_active <= group_c))
+    def _():
+        occ_ref[pl.ds(r0, tr), 0] = group(0, occ0)
 
-        @pl.when(all_occ | no_more)
-        def _():
-            done_ref[0, 0] = 1
-
-        return 0
-
-    if resident:
+    @pl.when(n_active > group_c)
+    def _():
+        # per-ray settle bound: no blocker can sit past the root-AABB
+        # exit (see _culled_tile) or past the light distance
+        root_lo = jnp.min(lo_ref[:], axis=0)[None, :]
+        root_hi = jnp.max(hi_ref[:], axis=0)[None, :]
+        rt0 = (root_lo - o) * inv_d
+        rt1 = (root_hi - o) * inv_d
+        texit = jnp.minimum(
+            jnp.min(jnp.maximum(rt0, rt1), axis=1), bnd
+        )  # [R]
         n_iters = (n_active + group_c - 1) // group_c
-    else:
-        n_iters = n_active
-    jax.lax.fori_loop(0, n_iters, body, 0)
+
+        def body(p, carry):
+            occ_cur, done = carry
+
+            def live(_):
+                occ_n = group(p, occ_cur)
+                # all occluded, or no later cluster can sit inside any
+                # ray's remaining (t_clip, bnd) window
+                all_occ = jnp.min(occ_n) > 0.5
+                nxt_pos = jnp.minimum(
+                    (p + 1) * group_c, ent_ref.shape[1] - 1)
+                no_more = ent_ref[i, nxt_pos] > jnp.max(
+                    jnp.where(occ_n > 0.5, 0.0, texit))
+                return occ_n, jnp.where(all_occ | no_more, 1, done)
+
+            return jax.lax.cond(done == 0, live,
+                                lambda _: (occ_cur, done), 0)
+
+        occ_f, _ = jax.lax.fori_loop(0, n_iters, body, (occ0, 0))
+        occ_ref[pl.ds(r0, tr), 0] = occ_f
 
 
 def triangle_occluded(
@@ -867,13 +881,15 @@ def triangle_occluded(
     unbounded (directional lights). live: see triangle_nearest_culled.
     """
     R = o.shape[0]
-    feats = ray_features(o, d)
     bnd = (
         jnp.full((R,), _BIG, jnp.float32)
         if t_max is None
         else t_max.astype(jnp.float32)
     )
-    fb = jnp.concatenate([feats, bnd[:, None]], axis=1)  # [R, 10]
+    # [R, 11]: features + constant 1.0 (kof-fold feature), per-ray bound
+    fb = jnp.concatenate(
+        [d, jnp.cross(o, d), o, jnp.ones((R, 1), jnp.float32),
+         bnd[:, None]], axis=1)
     if reorder:
         keys = _footprint_sort_keys(
             o, d, mesh, allow_negative=quirks.reference_triangle_test
@@ -903,7 +919,7 @@ def _occluded_from_fb(fb, mesh: accel.ClusteredMesh, *, quirks: Quirks, live=Non
     R = fb.shape[0]
     d = fb[:, 0:3]
     o = fb[:, 6:9]
-    bnd = fb[:, 9]
+    bnd = fb[:, 10]
     sign = 1.0 if quirks.reference_triangle_test else -1.0
     t_clip = 1.0 if quirks.near_clip_t_le_1 else CLEAN_T_EPS
     C = mesh.n_clusters
@@ -938,16 +954,7 @@ def _occluded_from_fb(fb, mesh: accel.ClusteredMesh, *, quirks: Quirks, live=Non
         axis=1,
     )
 
-    K, kof = pack_triangles(mesh.v0, mesh.v1, mesh.v2)
-    kc = K.reshape(9, 4, C, cs).transpose(2, 0, 1, 3)
-    aux = jnp.stack(
-        [
-            kof.reshape(C, cs),
-            mesh.mask.reshape(C, cs),
-            mesh.perm.astype(jnp.float32).reshape(C, cs),
-        ],
-        axis=1,
-    )
+    k10, _ = pack_cluster_blocks(mesh)  # any-hit needs no orig indices
     fb_p = _pad_rows(fb, rp, fill=1.0)
 
     mesh_space = pltpu.VMEM if resident else pl.ANY
@@ -958,11 +965,10 @@ def _occluded_from_fb(fb, mesh: accel.ClusteredMesh, *, quirks: Quirks, live=Non
             grid=(order_b.shape[0] // sub_t,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),  # ent [tiles, C+1]
-                pl.BlockSpec((TILE_R * sub_t, 10), lambda i, *_: (i, 0),
+                pl.BlockSpec((TILE_R * sub_t, 11), lambda i, *_: (i, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # lo
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # hi
-                pl.BlockSpec(memory_space=mesh_space),
                 pl.BlockSpec(memory_space=mesh_space),
             ],
             out_specs=pl.BlockSpec(
@@ -970,10 +976,8 @@ def _occluded_from_fb(fb, mesh: accel.ClusteredMesh, *, quirks: Quirks, live=Non
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
-                pltpu.SMEM((1, 1), jnp.int32),
-                pltpu.VMEM((2, 9, 4, cs), jnp.float32),
-                pltpu.VMEM((2, 3, cs), jnp.float32),
-                pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.VMEM((2, 10, 4, cs), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         )
         return pl.pallas_call(
@@ -986,7 +990,7 @@ def _occluded_from_fb(fb, mesh: accel.ClusteredMesh, *, quirks: Quirks, live=Non
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((fb_b.shape[0], 1), jnp.float32),
             interpret=_interpret(),
-        )(order_b, counts_b, ent_b, fb_b, cull_lo, cull_hi, kc, aux)
+        )(order_b, counts_b, ent_b, fb_b, cull_lo, cull_hi, k10)
 
     occ = _batched_launch(launch, order, counts, ent_sorted, fb_p)
     return occ[:R, 0] > 0.5

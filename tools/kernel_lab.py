@@ -106,16 +106,28 @@ def build_batch(cluster_size=128, tile_r=TILE_R):
                 ray_order=np.asarray(order), tile_r=tile_r)
 
 
-def launch_prod(B, group_c, max_tiles=512):
-    """The production kernel (culled._culled_kernel) as baseline."""
+def launch_prod(B, group_c, max_tiles=512, mt_passes=6):
+    """The production kernel (culled._culled_kernel) as baseline —
+    current per-plane form: folded [C, 10, 4, cs] blocks + org rows
+    (culled.pack_cluster_blocks layout, rebuilt here from the lab batch's
+    kc/aux tables) and a 10-column feature block."""
     cs = B["cs"]
     tile_r = B.get("tile_r", TILE_R)
+    C = B["C"]
+    kc = np.asarray(B["kc"])  # [C, 9, 4, cs]
+    aux = np.asarray(B["aux"])  # [C, 3, cs]: kof, mask, orig
+    k10 = np.zeros((C, 10, 4, cs), np.float32)
+    k10[:, 0:9] = kc
+    k10[:, 9, 3, :] = -aux[:, 0, :]
+    k10 *= (aux[:, 1:2, None, :] > 0)
+    k10 = jnp.asarray(k10)
+    org = jnp.asarray(aux[:, 2:3, :])
 
     def one(order_b, counts_b, ent_b, feats_b):
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2, grid=(order_b.shape[0],),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                      pl.BlockSpec((tile_r, 9), lambda i, *_: (i, 0),
+                      pl.BlockSpec((tile_r, 10), lambda i, *_: (i, 0),
                                    memory_space=pltpu.VMEM),
                       pl.BlockSpec(memory_space=pltpu.VMEM),
                       pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -125,20 +137,19 @@ def launch_prod(B, group_c, max_tiles=512):
                                     memory_space=pltpu.VMEM),
                        pl.BlockSpec((tile_r, 1), lambda i, *_: (i, 0),
                                     memory_space=pltpu.VMEM)),
-            scratch_shapes=[pltpu.SMEM((1, 1), jnp.int32),
-                            pltpu.VMEM((2, 9, 4, cs), jnp.float32),
-                            pltpu.VMEM((2, 3, cs), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((2, 10, 4, cs), jnp.float32),
+                            pltpu.VMEM((2, 1, cs), jnp.float32),
                             pltpu.SemaphoreType.DMA((2, 2))])
         return pl.pallas_call(
             functools.partial(
                 culled._culled_kernel, sign=-1.0, t_clip=CLEAN_T_EPS,
                 cs=cs, resident=True, allow_negative=False,
-                sub_t=1, group_c=group_c),
+                sub_t=1, group_c=group_c, mt_passes=mt_passes),
             grid_spec=grid_spec,
             out_shape=(jax.ShapeDtypeStruct((feats_b.shape[0], 1), jnp.float32),
                        jax.ShapeDtypeStruct((feats_b.shape[0], 1), jnp.int32)),
         )(order_b, counts_b, ent_b, feats_b,
-          B["lo"], B["hi"], B["kc"], B["aux"])
+          B["lo"], B["hi"], k10, org)
 
     def launch(order_b, counts_b, ent_b, feats_b):
         n_tiles = order_b.shape[0]
@@ -152,8 +163,12 @@ def launch_prod(B, group_c, max_tiles=512):
         t, idx = jax.lax.map(lambda a: one(*a), xs)
         return (t.reshape(n_tiles * tile_r, 1), idx.reshape(n_tiles * tile_r, 1))
 
+    feats10 = jnp.concatenate(
+        [B["feats"], jnp.ones((B["feats"].shape[0], 1), jnp.float32)],
+        axis=1)
+
     def run(i=None):
-        f = B["feats"] if i is None else B["feats"] * (1 + 1e-9 * i)
+        f = feats10 if i is None else feats10 * (1 + 1e-9 * i)
         t, idx = launch(B["order"], B["counts"], B["ent"], f)
         return t[:, 0], idx[:, 0]
 
@@ -161,7 +176,10 @@ def launch_prod(B, group_c, max_tiles=512):
 
 
 VARIANTS = {"prod_g4": lambda B: launch_prod(B, 4),
-            "prod_g2": lambda B: launch_prod(B, 2)}
+            "prod_g2": lambda B: launch_prod(B, 2),
+            "prod_g2_p3": lambda B: launch_prod(B, 2, mt_passes=3),
+            "prod_g4_p3": lambda B: launch_prod(B, 4, mt_passes=3),
+            "prod_g1_p3": lambda B: launch_prod(B, 1, mt_passes=3)}
 
 
 def variant(name):

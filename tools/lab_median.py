@@ -40,7 +40,7 @@ def median_order(cent, real, cs):
     return np.concatenate(out + [pad])
 
 
-def build_median(v0, v1, v2, mask, cluster_size):
+def build_median(v0, v1, v2, mask, cluster_size=accel.CLUSTER_SIZE):
     """accel.build_clusters with the Morton order replaced by the
     recursive-median order (same padding/AABB machinery)."""
     import jax.numpy as jnp
