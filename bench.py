@@ -399,6 +399,65 @@ def _bench_dragon() -> None:
         _emit()
 
 
+def _bench_midband() -> None:
+    """Mid-band scene sizes between the headline regimes: bear.scn (31
+    spheres — near the whole-frame kernel's 64-sphere unroll boundary),
+    test.scn (2,763 triangles — a mesh far smaller than dragon, culled
+    path), and a synthetic 128-sphere scene exercising the kernel's
+    fori_loop scan mode (S > _UNROLL_SPHERES; the reference's brute
+    force, src/raytrace.h:152-166, has no sphere limit — neither does
+    the fast path)."""
+    from skele_raytracer_tpu.config import CLEAN
+    from skele_raytracer_tpu.ops.pallas import pathtrace
+
+    def one(name, scene, cfg, rays):
+        fwd = jax.jit(lambda s, k, c=cfg: render_radiance(s, c, k))
+        t = _time(fwd, scene, jnp.uint32(0))
+        RESULT.setdefault("configs", []).append(
+            {"config": name, "s_per_frame": round(t, 4),
+             "rays_per_sec": round(rays / t)})
+        _emit()
+
+    cfg = RenderConfig(width=W, height=H, monte_carlo=True, num_paths=PATHS,
+                       max_depth=DEPTH, use_shadows=True, backend="pallas",
+                       rays_per_chunk=1 << 17)
+    bear = parse_scene("scenes/bear.scn").to_scene(cfg.quirks)
+    one("bear 1920x1080 parity gillum16 shadows", bear, cfg, RAYS_PER_FRAME)
+
+    cfg_t = RenderConfig(width=640, height=480, max_depth=2, use_shadows=True,
+                         backend="pallas", rays_per_chunk=1 << 17)
+    test_s = parse_scene("scenes/test.scn").to_scene(cfg_t.quirks)
+    one("test 640x480 parity shadows depth2", test_s, cfg_t, 640 * 480)
+    cfg_tc = cfg_t.replace(quirks=CLEAN)
+    one("test 640x480 clean shadows depth2",
+        parse_scene("scenes/test.scn").to_scene(CLEAN), cfg_tc, 640 * 480)
+
+    # synthetic 128-sphere scene (loop-mode scan)
+    from skele_raytracer_tpu.scene.types import make_scene
+
+    rng = __import__("numpy").random.default_rng(3)
+    spheres = []
+    for _ in range(128):
+        c = rng.uniform(-8, 8, 3)
+        c[1] = abs(c[1])
+        spheres.append(dict(
+            center=tuple(c), radius=float(rng.uniform(0.3, 1.0)),
+            ambient=tuple(rng.uniform(0, .3, 3)),
+            diffuse=tuple(rng.uniform(0, 1, 3)),
+            specular=tuple(rng.uniform(0, .5, 3)), transmissive=(0, 0, 0),
+            power=float(rng.uniform(2, 40)), ior=1.2))
+    s128 = make_scene(
+        spheres=spheres,
+        point_lights=[dict(position=(0, 30, -20), colour=(500, 500, 500))],
+        ambient=(0.2, 0.2, 0.2), camera_position=(0, 3, -24),
+        camera_direction=(0, 0, 1), camera_up=(0, 1, 0),
+        background=(.05, .1, .15))
+    cfg128 = cfg.replace(quirks=CLEAN)
+    assert pathtrace.use_pathtrace(s128, cfg128)
+    one("synthetic128 1920x1080 clean gillum16 shadows (loop-mode scan)",
+        s128, cfg128, RAYS_PER_FRAME)
+
+
 def main() -> None:
     scene = parse_scene("scenes/spheres2.scn").to_scene()
     # Both directions ride the whole-frame path-trace Pallas kernel
@@ -444,6 +503,7 @@ def main() -> None:
     _section("4k", 120, lambda: _bench_4k(scene, cfg))
     _section("fog", 120, _bench_fog)
     _section("dragon", 240, _bench_dragon)
+    _section("midband", 300, _bench_midband)
 
     def _sol():
         # Speed-of-light accounting (utils/roofline.py): analytic FLOPs +

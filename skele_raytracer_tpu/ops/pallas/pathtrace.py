@@ -87,9 +87,16 @@ _PI = np.float32(np.pi)
 _UNROLL_PATHS = 32
 
 # Unrolled-scan budgets: every sphere costs ~25 VPU ops per ray per scan
-# and every triangle ~45. Beyond these the [R, prims] jnp / culled-kernel
-# formulations win anyway (mesh-scale scenes go through ops/pallas/culled).
-MAX_SPHERES = 64
+# and every triangle ~45; past _UNROLL_SPHERES the unrolled scan's live
+# set blows Mosaic's 16 MB scoped-VMEM stack (measured: 30 MB at S=128),
+# so larger sphere tables run the scan/gather/occlusion as fori_loops
+# over dynamic SMEM scalar reads — same math, constant code size, tiny
+# live set. Loop mode is forward-only: _can_replay rejects S >
+# _UNROLL_SPHERES, so gradients re-derive through the jnp wavefront
+# (identical estimator). MAX_TRIS keeps mesh-scale scenes on the culled
+# kernels.
+_UNROLL_SPHERES = 64
+MAX_SPHERES = 256
 MAX_TRIS = 32
 
 
@@ -212,6 +219,90 @@ def _gather(bidx, rows, valid=None):
             term = m * vals[c]
             outs[c] = term if outs[c] is None else outs[c] + term
     return outs
+
+
+def _scan_spheres_loop(o, d, sph_ref, S: int, t_clip: float):
+    """_scan_spheres as a fori_loop over dynamic SMEM scalar reads (the
+    S > _UNROLL_SPHERES regime; see the budget comment above). Same
+    numerator-space math and first-wins tie behavior; no fused material
+    rows (use _gather_loop on the winner)."""
+    ox, oy, oz = o
+    dx, dy, dz = d
+    a = dx * dx + dy * dy + dz * dz
+    a4 = 4.0 * a
+    clipnum = (2.0 * t_clip) * a
+
+    def body(sid, carry):
+        best, bidx = carry
+        cx, cy, cz = sph_ref[sid, 0], sph_ref[sid, 1], sph_ref[sid, 2]
+        r2, msk = sph_ref[sid, 3], sph_ref[sid, 4]
+        ex, ey, ez = ox - cx, oy - cy, oz - cz
+        b = 2.0 * (dx * ex + dy * ey + dz * ez)
+        c = ex * ex + ey * ey + ez * ez - r2
+        disc = b * b - a4 * c
+        pos = disc > 0
+        sq = jnp.sqrt(jnp.where(pos, disc, 1.0)) * pos
+        num = -b - sq
+        valid = (disc >= 0) & (num > clipnum) & (msk > 0)
+        upd = valid & (num < best)
+        return (jnp.where(upd, num, best),
+                jnp.where(upd, sid, bidx))
+
+    best, bidx = jax.lax.fori_loop(
+        0, S,
+        body,
+        (jnp.full(dx.shape, _BIG, jnp.float32),
+         jnp.zeros(dx.shape, jnp.int32)),
+    )
+    hit = best < _BIG
+    t = best * (0.5 / a)
+    return hit, t, bidx, a
+
+
+def _gather_loop(bidx, ref, cols, S: int, valid=None):
+    """_gather as a fori_loop: per column, sum_s (bidx == s) * ref[s, c]
+    with dynamic SMEM reads. cols are static column indices."""
+    z = jnp.zeros(bidx.shape, jnp.float32)
+
+    def body(sid, outs):
+        m = bidx == sid
+        if valid is not None:
+            m = m & valid
+        mf = m.astype(jnp.float32)
+        return tuple(o + mf * ref[sid, c] for o, c in zip(outs, cols))
+
+    return list(jax.lax.fori_loop(0, S, body, tuple(z for _ in cols)))
+
+
+def _occluded_loop(origin, direction, sph_ref, S: int, t_clip: float, bound):
+    """_occluded's sphere part as a fori_loop (loop-mode shadows)."""
+    ox, oy, oz = origin
+    dx, dy, dz = direction
+    a = dx * dx + dy * dy + dz * dz
+    a = jnp.where(a > 0, a, 1.0)
+    a4 = 4.0 * a
+    clipnum = (2.0 * t_clip) * a
+    inv2a = 0.5 / a
+
+    def body(sid, occ):
+        cx, cy, cz = sph_ref[sid, 0], sph_ref[sid, 1], sph_ref[sid, 2]
+        r2, msk = sph_ref[sid, 3], sph_ref[sid, 4]
+        ex, ey, ez = ox - cx, oy - cy, oz - cz
+        b = 2.0 * (dx * ex + dy * ey + dz * ez)
+        c = ex * ex + ey * ey + ez * ez - r2
+        disc = b * b - a4 * c
+        pos = disc > 0
+        sq = jnp.sqrt(jnp.where(pos, disc, 1.0)) * pos
+        num = -b - sq
+        valid = (disc >= 0) & (num > clipnum) & (msk > 0)
+        if bound is not None:
+            valid = valid & (num * inv2a < bound)
+        # f32 carry: Mosaic cannot legalize scf.for with vector<i1> carries
+        return jnp.maximum(occ, valid.astype(jnp.float32))
+
+    occ_f = jax.lax.fori_loop(0, S, body,
+                              jnp.zeros(dx.shape, jnp.float32))
+    return occ_f > 0.5
 
 
 def _tri_test(o, d, tri, ref_test: bool):
@@ -370,6 +461,11 @@ def _build_frame_math(
     tri_black = quirks.triangles_shade_black
     shadow_tris = tri_on and not quirks.sphere_only_shadows
     assert not (emit_records and replay)
+    # Loop mode for big sphere tables (see the _UNROLL_SPHERES comment):
+    # forward-only — _can_replay rejects it, so records/replay never
+    # reach here with a loop-mode S.
+    loop_spheres = sph_on and S > _UNROLL_SPHERES
+    assert not (loop_spheres and (emit_records or replay))
     n_rec = 1 + (P * (D - 1) if (mc and D > 1) else 0)
 
     def frame_math(tabs, planes, seed, recs_in=None):
@@ -390,7 +486,7 @@ def _build_frame_math(
             (sph_ref[s, 0], sph_ref[s, 1], sph_ref[s, 2], sph_ref[s, 3],
              sph_ref[s, 4])
             for s in range(S)
-        ] if sph_on else []
+        ] if sph_on and not loop_spheres else []
         # material columns: ambient(5:8) diffuse(8:11) specular(11:14)
         # power(14). Specular/power are gathered only when a light loop
         # will consume them, and the hit center (-> normal) only when the
@@ -406,8 +502,9 @@ def _build_frame_math(
                                                    sph_ref[s, 1],
                                                    sph_ref[s, 2]]
             for s in range(S)
-        ]
-        shade_rows = [row[:n_sc] for row in full_rows]
+        ] if not loop_spheres else None
+        shade_rows = ([row[:n_sc] for row in full_rows]
+                      if full_rows is not None else None)
 
         # Triangle tables (tri_tab layout: v0 0:3, e1 3:6, e2 6:9, mask 9,
         # unit normal 10:13, ambient 13:16, diffuse 16:19, specular 19:22,
@@ -490,10 +587,20 @@ def _build_frame_math(
                     gate = lm * ((rec >> (10 + li)) & 1).astype(jnp.float32)
                 elif use_shadows:
                     sdx, sdy, sdz, _ = _normalize3(lvx, lvy, lvz)
-                    occ = _occluded(sh_o, (sdx, sdy, sdz), sph, t_clip,
-                                    d_l if shadow_bound else None,
-                                    tris=tris_geo if shadow_tris else (),
-                                    ref_test=ref_test)
+                    if loop_spheres:
+                        occ = _occluded_loop(
+                            sh_o, (sdx, sdy, sdz), sph_ref, S, t_clip,
+                            d_l if shadow_bound else None)
+                        if shadow_tris:
+                            occ = occ | _occluded(
+                                sh_o, (sdx, sdy, sdz), [], t_clip,
+                                d_l if shadow_bound else None,
+                                tris=tris_geo, ref_test=ref_test)
+                    else:
+                        occ = _occluded(sh_o, (sdx, sdy, sdz), sph, t_clip,
+                                        d_l if shadow_bound else None,
+                                        tris=tris_geo if shadow_tris else (),
+                                        ref_test=ref_test)
                     unsh = (~occ).astype(jnp.int32)
                     gate = lm * unsh.astype(jnp.float32)
                     if emit_records:
@@ -570,9 +677,18 @@ def _build_frame_math(
                     gate = lm * ((rec >> (10 + L + li)) & 1).astype(
                         jnp.float32)
                 elif use_shadows:
-                    occ = _occluded(sh_o, (ldx, ldy, ldz), sph, t_clip, None,
-                                    tris=tris_geo if shadow_tris else (),
-                                    ref_test=ref_test)
+                    if loop_spheres:
+                        occ = _occluded_loop(
+                            sh_o, (ldx, ldy, ldz), sph_ref, S, t_clip, None)
+                        if shadow_tris:
+                            occ = occ | _occluded(
+                                sh_o, (ldx, ldy, ldz), [], t_clip, None,
+                                tris=tris_geo, ref_test=ref_test)
+                    else:
+                        occ = _occluded(sh_o, (ldx, ldy, ldz), sph, t_clip,
+                                        None,
+                                        tris=tris_geo if shadow_tris else (),
+                                        ref_test=ref_test)
                     unsh = (~occ).astype(jnp.int32)
                     gate = lm * unsh.astype(jnp.float32)
                     if emit_records:
@@ -657,7 +773,10 @@ def _build_frame_math(
                         shades.astype(jnp.float32),
                         1.0 - hit_any.astype(jnp.float32), None)
             mats = None
-            if sph:
+            if loop_spheres:
+                s_hit, s_t, s_idx, _ = _scan_spheres_loop(
+                    o3, d3, sph_ref, S, t_clip)
+            elif sph:
                 if rows is not None and not tri_on:
                     s_hit, s_t, s_idx, _, mats = _scan_spheres(
                         o3, d3, sph, t_clip, rows=rows)
@@ -688,6 +807,13 @@ def _build_frame_math(
             primitive — mirrors shading.gather_material: parity reads the
             sphere table unconditionally at the combined index; clean
             sums kind-gated sphere and triangle selections."""
+            if loop_spheres:
+                cols = shade_cols + ([0, 1, 2] if need_geo else [])
+                if not tri_on or tri_black:
+                    return _gather_loop(idx, sph_ref, cols, S)
+                m = _gather_loop(idx, sph_ref, cols, S, valid=~tri_wins)
+                mt = _gather(idx, tri_mat_rows, valid=tri_wins)
+                return [a + b for a, b in zip(m[:n_sc], mt)] + m[n_sc:]
             rows = full_rows if need_geo else shade_rows
             if not tri_on or tri_black:
                 m = _gather(idx, rows)
@@ -1394,12 +1520,15 @@ def _replay_chunked(scene, cfg: RenderConfig, seed, sample_ids, rec,
 
 def _can_replay(scene, cfg: RenderConfig) -> bool:
     """Records fit: static path slots, 8-bit sphere index, and (with
-    shadows) every padded light's unshadowed bit inside an int32."""
+    shadows) every padded light's unshadowed bit inside an int32. Sphere
+    tables past _UNROLL_SPHERES run the forward scans as fori_loops
+    (loop mode) which the record/replay machinery does not serve —
+    gradients there re-derive through the jnp wavefront instead."""
     L = scene.point_lights.mask.shape[0]
     LD = scene.directional_lights.mask.shape[0]
     return (
         cfg.paths_per_sample <= _UNROLL_PATHS
-        and scene.spheres.mask.shape[0] <= 256
+        and scene.spheres.mask.shape[0] <= _UNROLL_SPHERES
         and (not cfg.use_shadows or 10 + L + LD <= 32)
     )
 

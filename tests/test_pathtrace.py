@@ -154,6 +154,64 @@ class TestEquivalence:
         _compare(parsed, cfg)
 
 
+def _many_sphere_scene(n=128, seed=3):
+    from skele_raytracer_tpu.scene.types import make_scene
+
+    rng = np.random.default_rng(seed)
+    spheres = []
+    for _ in range(n):
+        c = rng.uniform(-8, 8, 3)
+        c[1] = abs(c[1])
+        spheres.append(dict(
+            center=tuple(c), radius=float(rng.uniform(0.3, 1.0)),
+            ambient=tuple(rng.uniform(0, .3, 3)),
+            diffuse=tuple(rng.uniform(0, 1, 3)),
+            specular=tuple(rng.uniform(0, .5, 3)), transmissive=(0, 0, 0),
+            power=float(rng.uniform(2, 40)), ior=1.2))
+    return make_scene(
+        spheres=spheres,
+        point_lights=[dict(position=(0, 30, -20), colour=(500, 500, 500)),
+                      dict(position=(-10, 10, 0), colour=(100, 80, 60))],
+        ambient=(0.2, 0.2, 0.2), camera_position=(0, 3, -24),
+        camera_direction=(0, 0, 1), camera_up=(0, 1, 0),
+        background=(.05, .1, .15))
+
+
+class TestLoopModeSpheres:
+    """S > _UNROLL_SPHERES runs the kernel's scans as fori_loops over
+    dynamic SMEM reads (the reference's brute-force sphere scan,
+    src/raytrace.h:152-166, imposes no such limit — neither does the
+    fast path now). Forward-only: gradients re-derive through the jnp
+    wavefront (_can_replay gate)."""
+
+    pytestmark = [pytest.mark.slow]
+
+    def test_128_sphere_equivalence(self):
+        scene = _many_sphere_scene(128)
+        cfg = RenderConfig(width=8, height=6, monte_carlo=True, num_paths=2,
+                           max_depth=2, use_shadows=True, backend="pallas",
+                           rays_per_chunk=1 << 10)
+        assert pathtrace.use_pathtrace(scene, cfg)
+        assert not pathtrace._can_replay(scene, cfg)
+        ids = jnp.arange(8 * 6, dtype=jnp.uint32)
+        a = np.asarray(render_ids_chunked(scene, cfg, jnp.uint32(5), ids))
+        b = np.asarray(render_ids_chunked_jnp(scene, cfg, jnp.uint32(5), ids))
+        err = np.abs(a - b)
+        assert (err > 1e-3).mean() <= 0.01, err.max()
+
+    def test_128_sphere_grads_via_jnp_fallback(self):
+        scene = _many_sphere_scene(128)
+        cfg = RenderConfig(width=8, height=6, monte_carlo=True, num_paths=2,
+                           max_depth=2, use_shadows=True, backend="pallas",
+                           rays_per_chunk=1 << 10)
+        ids = jnp.arange(8 * 6, dtype=jnp.uint32)
+        g = jax.grad(lambda s: jnp.sum(
+            render_ids_chunked(s, cfg, jnp.uint32(5), ids) ** 2))(scene)
+        leaves = [np.asarray(x) for x in jax.tree_util.tree_leaves(g)]
+        assert all(np.isfinite(x).all() for x in leaves)
+        assert np.abs(np.asarray(g.spheres.diffuse)).max() > 0
+
+
 class TestDispatch:
     def test_gates(self, parsed_spheres, parsed_test_scene):
         from tests.conftest import make_mesh_scene
