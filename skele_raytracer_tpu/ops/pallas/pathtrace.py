@@ -124,16 +124,32 @@ def use_pathtrace(scene, cfg: RenderConfig) -> bool:
     )
 
 
-def _draw(seed, bounce: int, purpose: int, ids, draw_idx: int):
-    """One U[0,1) plane: the (seed, bounce, purpose) stream at counter
-    (ids, draw_idx) — bit-identical to ops/sampling.uniform."""
-    k1 = np.uint32((int(bounce) * int(_GOLDEN) + int(purpose)) & 0xFFFFFFFF)
-    y0, _ = threefry2x32(seed, k1, ids, jnp.uint32(draw_idx))
+def _draw2(seed, bounce, purpose: int, ids, pair_idx: int):
+    """TWO U[0,1) planes from ONE threefry2x32 call: draws (2*pair_idx,
+    2*pair_idx + 1) of the (seed, bounce, purpose) stream — bit-identical
+    to ops/sampling.uniform's word mapping (draw i = word i%2 of counter
+    i//2). The generator is ~130 VPU ops; consuming both output words
+    halves its cost, which dominates the fog reroute (8 draws per
+    (light, fog) per bounce)."""
+    k1 = (jnp.asarray(bounce, jnp.uint32) * _GOLDEN
+          + np.uint32(purpose)) if not isinstance(bounce, int) else np.uint32(
+              (int(bounce) * int(_GOLDEN) + int(purpose)) & 0xFFFFFFFF)
+    y0, y1 = threefry2x32(seed, k1, ids, jnp.uint32(pair_idx))
+
     # bits_to_unit with the u32 -> f32 cast routed through int32 (Mosaic
     # has no direct u32 cast; the top-24-bit value fits int32 exactly).
-    return (y0 >> np.uint32(8)).astype(jnp.int32).astype(jnp.float32) * (
-        np.float32(2**-24)
-    )
+    def conv(y):
+        return (y >> np.uint32(8)).astype(jnp.int32).astype(jnp.float32) * (
+            np.float32(2**-24)
+        )
+
+    return conv(y0), conv(y1)
+
+
+def _draw(seed, bounce: int, purpose: int, ids, draw_idx: int):
+    """One U[0,1) plane (word draw_idx % 2 of pair draw_idx // 2); prefer
+    _draw2 when both words of a pair are consumed."""
+    return _draw2(seed, bounce, purpose, ids, draw_idx // 2)[draw_idx % 2]
 
 
 def _normalize3(vx, vy, vz):
@@ -630,17 +646,22 @@ def _build_frame_math(
                             dcx * dcx + dcy * dcy + dcz * dcz, 0.0))
                         dist = jnp.minimum(dist, 2.0 * rad)
                         p_no = jnp.exp(-dist * (absn + scat))
-                        base_i = (li * F + fi) * 8
+                        # the (L, F, 4, 2) stream: draw ((lf*4+k)*2 +
+                        # term) = word `term` of pair (lf*4 + k) — the
+                        # two diffuse/specular reroute terms of each
+                        # offset k share ONE threefry call (_draw2).
+                        base_p = (li * F + fi) * 4
+                        pairs = [
+                            _draw2(seed, bounce, PURPOSE_FOG, idp,
+                                   base_p + k)
+                            for k in range(4)
+                        ]
                         for term in (0, 1):
-                            u0 = _draw(seed, bounce, PURPOSE_FOG, idp,
-                                       base_i + term)
+                            u0 = pairs[0][term]
                             interacts = u0 > p_no
-                            u1 = _draw(seed, bounce, PURPOSE_FOG, idp,
-                                       base_i + 2 + term)
-                            u2 = _draw(seed, bounce, PURPOSE_FOG, idp,
-                                       base_i + 4 + term)
-                            u3 = _draw(seed, bounce, PURPOSE_FOG, idp,
-                                       base_i + 6 + term)
+                            u1 = pairs[1][term]
+                            u2 = pairs[2][term]
+                            u3 = pairs[3][term]
                             nlx = ldx + scat * (u1 * 2.0 - 1.0)
                             nly = ldy + scat * (u2 * 2.0 - 1.0)
                             nlz = ldz + scat * (u3 * 2.0 - 1.0)
@@ -848,8 +869,7 @@ def _build_frame_math(
                 r = _draw(seed, 0, PURPOSE_JITTER, ids, 0)
                 jx, jy = r, r
             else:
-                r0 = _draw(seed, 0, PURPOSE_JITTER, ids, 0)
-                r1j = _draw(seed, 0, PURPOSE_JITTER, ids, 1)
+                r0, r1j = _draw2(seed, 0, PURPOSE_JITTER, ids, 0)
                 jx = (cj + r0) / grid
                 jy = (ci + r1j) / grid
         else:
@@ -941,8 +961,7 @@ def _build_frame_math(
             Tb = None  # throughput; None until the first factor lands
             difb, shadesbf = dif0, shades0f
             for b in range(1, D):
-                r1 = _draw(seed, b - 1, PURPOSE_PATH, idp, 0)
-                r2 = _draw(seed, b - 1, PURPOSE_PATH, idp, 1)
+                r1, r2 = _draw2(seed, b - 1, PURPOSE_PATH, idp, 0)
                 db3 = sample_dir(r1, r2, nb, pnb, pbb)
                 ob3 = bounce_origin(xb, nb)
                 if Tb is None:

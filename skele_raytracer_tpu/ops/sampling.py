@@ -83,15 +83,26 @@ def uniform(seed, ray_id, bounce, purpose, shape=()):
     seed: uint32 scalar (render seed). ray_id: [R] uint32 — the counter
     identity that makes draws independent of chunking/sharding. bounce,
     purpose: scalars selecting the stream.
+
+    Draw i comes from word i%2 of threefry counter (ray_id, i//2): each
+    threefry2x32 produces TWO independent uniform words, and consuming
+    both halves the generator invocations — ~130 VPU ops each, the
+    single largest op block per ray-bounce in the whole-frame kernel
+    (whose in-register _draw2 consumes the identical mapping). The
+    NumPy oracle (uniform_np) and the kernel change in lockstep, so
+    every cross-implementation RNG identity is preserved.
     """
     n = int(np.prod(shape, dtype=np.int64)) if shape else 1
+    m = (n + 1) // 2
     k0, k1 = _stream_key_words(seed, bounce, purpose)
-    x0 = jnp.broadcast_to(ray_id.astype(jnp.uint32)[:, None], (ray_id.shape[0], n))
+    x0 = jnp.broadcast_to(ray_id.astype(jnp.uint32)[:, None], (ray_id.shape[0], m))
     x1 = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.uint32)[None, :], (ray_id.shape[0], n)
+        jnp.arange(m, dtype=jnp.uint32)[None, :], (ray_id.shape[0], m)
     )
-    y0, _ = threefry2x32(k0, k1, x0, x1)
-    u = bits_to_unit(y0)
+    y0, y1 = threefry2x32(k0, k1, x0, x1)
+    u = jnp.stack([bits_to_unit(y0), bits_to_unit(y1)], axis=-1).reshape(
+        ray_id.shape[0], 2 * m
+    )[:, :n]
     return u.reshape((ray_id.shape[0],) + tuple(shape))
 
 
@@ -99,17 +110,19 @@ def uniform_np(seed, ray_id, bounce, purpose, shape=()):
     """NumPy mirror of `uniform` for the serial test oracle — bit-identical
     streams (same threefry code via xp=np)."""
     n = int(np.prod(shape, dtype=np.int64)) if shape else 1
+    m = (n + 1) // 2
     with np.errstate(over="ignore"):
         k0 = np.uint32(seed)
         k1 = np.uint32((int(bounce) * int(_GOLDEN) + int(purpose)) & 0xFFFFFFFF)
     ray_id = np.asarray(ray_id, np.uint32).reshape(-1)
     with np.errstate(over="ignore"):
-        x0 = np.broadcast_to(ray_id[:, None], (ray_id.shape[0], n)).astype(np.uint32)
+        x0 = np.broadcast_to(ray_id[:, None], (ray_id.shape[0], m)).astype(np.uint32)
         x1 = np.broadcast_to(
-            np.arange(n, dtype=np.uint32)[None, :], (ray_id.shape[0], n)
+            np.arange(m, dtype=np.uint32)[None, :], (ray_id.shape[0], m)
         ).astype(np.uint32)
-        y0, _ = threefry2x32(k0, k1, x0, x1, xp=np)
-    u = bits_to_unit(y0, xp=np)
+        y0, y1 = threefry2x32(k0, k1, x0, x1, xp=np)
+    u = np.stack([bits_to_unit(y0, xp=np), bits_to_unit(y1, xp=np)],
+                 axis=-1).reshape(ray_id.shape[0], 2 * m)[:, :n]
     return u.reshape((ray_id.shape[0],) + tuple(shape))
 
 
