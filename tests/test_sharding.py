@@ -50,12 +50,33 @@ def test_factor_mesh():
 
 def test_sharded_render_matches_single_device(scene):
     key = jnp.uint32(3)
-    single = render_radiance(scene, CFG, key)
+    # The RNG itself is bitwise partition-invariant (the counter-based
+    # contract sharding is built on) ...
+    from skele_raytracer_tpu.ops import sampling
+
+    ids = jnp.arange(CFG.width * CFG.height, dtype=jnp.uint32)
+    full = np.asarray(sampling.uniform(key, ids, 1, sampling.PURPOSE_PATH, (2,)))
+    parts = np.concatenate([
+        np.asarray(sampling.uniform(key, ids[i:i + 97], 1,
+                                    sampling.PURPOSE_PATH, (2,)))
+        for i in range(0, ids.shape[0], 97)
+    ])
+    np.testing.assert_array_equal(full, parts[: ids.shape[0]])
+
+    # ... and the full frame matches to a few ulps: per-ray values depend
+    # only on that ray's counters, but XLA may fuse/reassociate the
+    # shading chain and the supersample mean differently at different
+    # shard SHAPES (observed: 0.6% of values off by 1-3 ulps after an
+    # RNG-internal refactor). Bitwise identity across shapes is a
+    # compiler artifact, not a property the design can promise; the
+    # kernel path's partition invariance at FIXED shape stays bitwise
+    # (test_pathtrace.TestPartitionInvariance).
+    single = np.asarray(render_radiance(scene, CFG, key))
     for n in (8, 4):
         mesh = make_mesh(jax.devices()[:n])
-        sharded = render_radiance_sharded(scene, CFG, key, mesh)
-        np.testing.assert_array_equal(
-            np.asarray(single), np.asarray(sharded),
+        sharded = np.asarray(render_radiance_sharded(scene, CFG, key, mesh))
+        np.testing.assert_allclose(
+            single, sharded, rtol=5e-7, atol=1e-7,
             err_msg=f"{n}-device render differs from single-device",
         )
 
