@@ -106,8 +106,8 @@ def _batched_launch(launch, order, counts, ent, feats):
     )
     outs = jax.lax.map(lambda a: launch(*a), xs)
 
-    def crop(y):
-        return y.reshape(k * max_tiles * TILE_R, -1)[: n_tiles * TILE_R]
+    def crop(y):  # launches return flat [R_b] vectors (row-major planes)
+        return y.reshape(-1)[: n_tiles * TILE_R]
 
     if isinstance(outs, tuple):
         return tuple(crop(y) for y in outs)
@@ -302,19 +302,24 @@ def _culled_tile(
 
     t0 = jnp.full((tr,), _BIG, jnp.float32)
     i0 = jnp.full((tr,), _BIG_I, jnp.int32)
+    # Outputs are ROW-MAJOR [tr//128, 128] planes: a [tr, 1] column
+    # output wastes 127 of 128 lanes and its downstream [R,1] -> [R]
+    # squeeze was a measured ~0.1 ms/chunk relayout in XLA.
+    rr0, trr = r0 // 128, tr // 128
+
+    def store(t_f, i_f):
+        t_ref[0, pl.ds(rr0, trr), :] = t_f.reshape(trr, 128)
+        idx_ref[0, pl.ds(rr0, trr), :] = i_f.reshape(trr, 128)
 
     if not resident:
         # Streaming: double-buffered DMA chain, one cluster per step,
-        # slab-pretest-gated MT, (t, idx) kept in the output refs.
-        t_ref[pl.ds(r0, tr), 0] = t0
-        idx_ref[pl.ds(r0, tr), 0] = i0
-
+        # slab-pretest-gated MT, (t, idx) carried in registers.
         @pl.when(n_active > 0)
         def _():
             for c in dma(0, 0):
                 c.start()
 
-        def _slab_pend(ci):
+        def _slab_pend(ci, t_cur):
             # Slab pretest vs the running nearest t (shortlists arrive
             # front-to-back from the host): the cluster's entry distance
             # is a lower bound on any t inside it — negative entries
@@ -329,9 +334,10 @@ def _culled_tile(
             enter = tmin <= tmax
             if not allow_negative:
                 enter = enter & (tmax > (t_clip or 0.0))
-            return enter & (tmin <= t_ref[pl.ds(r0, tr), 0])
+            return enter & (tmin <= t_cur)
 
-        def body(p, _):
+        def body(p, carry):
+            t_cur, i_cur = carry
             ci = shortlist_ref[i, p]
             slot = jax.lax.rem(p, 2)
             nxt = jax.lax.rem(p + 1, 2)
@@ -344,21 +350,17 @@ def _culled_tile(
             for c in dma(slot, p):
                 c.wait()
 
-            pend = _slab_pend(ci)
+            pend = _slab_pend(ci, t_cur)
+            slot_ = jax.lax.rem(p, 2)
+            t_n, i_n = jax.lax.cond(
+                jnp.any(pend),
+                lambda _: mt_block(kbuf[slot_], obuf[slot_, 0, :],
+                                   t_cur, i_cur),
+                lambda _: (t_cur, i_cur), 0)
+            return t_n, i_n
 
-            @pl.when(jnp.any(pend))
-            def _():
-                slot_ = jax.lax.rem(p, 2)
-                t_n, i_n = mt_block(
-                    kbuf[slot_], obuf[slot_, 0, :],
-                    t_ref[pl.ds(r0, tr), 0], idx_ref[pl.ds(r0, tr), 0],
-                )
-                t_ref[pl.ds(r0, tr), 0] = t_n
-                idx_ref[pl.ds(r0, tr), 0] = i_n
-
-            return 0
-
-        jax.lax.fori_loop(0, n_active, body, 0)
+        t_f, i_f = jax.lax.fori_loop(0, n_active, body, (t0, i0))
+        store(t_f, i_f)
         return
 
     # --- resident: cluster blocks live wholly in VMEM — read directly by
@@ -381,14 +383,11 @@ def _culled_tile(
     # single-group shortlist — a straight-line group with no
     # fori_loop/cond/settle machinery serves them; longer shortlists take
     # the early-exit loop below.
-    t_ref[pl.ds(r0, tr), 0] = t0
-    idx_ref[pl.ds(r0, tr), 0] = i0
+    store(t0, i0)
 
     @pl.when((n_active > 0) & (n_active <= group_c))
     def _():
-        t_f, i_f = group(0, t0, i0)
-        t_ref[pl.ds(r0, tr), 0] = t_f
-        idx_ref[pl.ds(r0, tr), 0] = i_f
+        store(*group(0, t0, i0))
 
     @pl.when(n_active > group_c)
     def _():
@@ -423,8 +422,7 @@ def _culled_tile(
                                 lambda _: (t_cur, i_cur, done), 0)
 
         t_f, i_f, _ = jax.lax.fori_loop(0, n_iters, body, (t0, i0, 0))
-        t_ref[pl.ds(r0, tr), 0] = t_f
-        idx_ref[pl.ds(r0, tr), 0] = i_f
+        store(t_f, i_f)
 
 
 N_SUPER = 16  # footprint-key superclusters (high bits of the sort key)
@@ -557,11 +555,14 @@ def triangle_nearest_culled(
         )
         # Unsort by sorting on the forward permutation — measured cheaper
         # than a row scatter on TPU (sort-with-payloads ~1.1 ms vs scatter
-        # ~1.8 ms at 131k rays), and int payloads ride natively.
-        _, t_o, idx_o, hit_o = jax.lax.sort(
-            (order_r, t, idx, hit.astype(jnp.int32)), dimension=0, num_keys=1
+        # ~1.8 ms at 131k rays), and int payloads ride natively. `hit` is
+        # re-derived from the unsorted t (misses are inf) instead of
+        # riding as a fourth payload.
+        del hit
+        _, t_o, idx_o = jax.lax.sort(
+            (order_r, t, idx), dimension=0, num_keys=1
         )
-        return t_o, idx_o, hit_o > 0
+        return t_o, idx_o, jnp.isfinite(t_o)
     return _culled_from_feats(feats, mesh, quirks=quirks, live=live,
                               group_c=group_c, mt_passes=mt_passes)
 
@@ -634,9 +635,13 @@ def _culled_from_feats(feats, mesh: accel.ClusteredMesh, *, quirks: Quirks, live
                 pl.BlockSpec(memory_space=mesh_space),
             ],
             out_specs=(
-                pl.BlockSpec((TILE_R * sub_t, 1), lambda i, *_: (i, 0),
+                # [tiles, rows, 128]: Pallas requires the minor-two block
+                # dims be (8k, 128) or match the array — (rows, 128) does
+                pl.BlockSpec((1, TILE_R * sub_t // 128, 128),
+                             lambda i, *_: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((TILE_R * sub_t, 1), lambda i, *_: (i, 0),
+                pl.BlockSpec((1, TILE_R * sub_t // 128, 128),
+                             lambda i, *_: (i, 0, 0),
                              memory_space=pltpu.VMEM),
             ),
             scratch_shapes=[
@@ -645,7 +650,7 @@ def _culled_from_feats(feats, mesh: accel.ClusteredMesh, *, quirks: Quirks, live
                 pltpu.SemaphoreType.DMA((2, 2)),
             ],
         )
-        return pl.pallas_call(
+        t_b, i_b = pl.pallas_call(
             functools.partial(
                 _culled_kernel, sign=sign, t_clip=t_clip, cs=cs,
                 resident=resident,
@@ -656,14 +661,20 @@ def _culled_from_feats(feats, mesh: accel.ClusteredMesh, *, quirks: Quirks, live
             ),
             grid_spec=grid_spec,
             out_shape=(
-                jax.ShapeDtypeStruct((feats_b.shape[0], 1), jnp.float32),
-                jax.ShapeDtypeStruct((feats_b.shape[0], 1), jnp.int32),
+                jax.ShapeDtypeStruct(
+                    (feats_b.shape[0] // (TILE_R * sub_t),
+                     TILE_R * sub_t // 128, 128), jnp.float32),
+                jax.ShapeDtypeStruct(
+                    (feats_b.shape[0] // (TILE_R * sub_t),
+                     TILE_R * sub_t // 128, 128), jnp.int32),
             ),
             interpret=_interpret(),
         )(order_b, counts_b, ent_b, feats_b, cull_lo, cull_hi, k10, org)
+        # row-major planes -> flat ray vectors (free bitcast)
+        return t_b.reshape(-1), i_b.reshape(-1)
 
     t, idx = _batched_launch(launch, order, counts, ent_sorted, feats)
-    t, idx = t[:R, 0], idx[:R, 0]
+    t, idx = t[:R], idx[:R]
     hit = t < _BIG
     # idx already holds the ORIGINAL triangle index (tie-broken to the
     # minimum, matching the reference scan order); clamp the no-hit
@@ -775,17 +786,21 @@ def _occ_tile(
                            .astype(jnp.float32))
 
     occ0 = jnp.zeros((tr,), jnp.float32)
+    # row-major [tr//128, 128] output (see _culled_tile.store)
+    rr0, trr = r0 // 128, tr // 128
+
+    def store(occ_f):
+        occ_ref[0, pl.ds(rr0, trr), :] = occ_f.reshape(trr, 128)
 
     if not resident:
-        # Streaming: double-buffered DMA chain, slab-pretest-gated.
-        occ_ref[pl.ds(r0, tr), 0] = occ0
-
+        # Streaming: double-buffered DMA chain, slab-pretest-gated,
+        # occlusion carried in registers.
         @pl.when(n_active > 0)
         def _():
             for c in dma(0, 0):
                 c.start()
 
-        def _slab_pend(ci):
+        def _slab_pend(ci, occ_cur):
             lo = lo_ref[pl.ds(ci, 1), :]
             hi = hi_ref[pl.ds(ci, 1), :]
             t0s = (lo - o) * inv_d
@@ -793,9 +808,9 @@ def _occ_tile(
             tmin = jnp.max(jnp.minimum(t0s, t1s), axis=1)
             tmax = jnp.min(jnp.maximum(t0s, t1s), axis=1)
             enter = (tmin <= tmax) & (tmax > t_clip) & (tmin < bnd)
-            return enter & (occ_ref[pl.ds(r0, tr), 0] < 0.5)
+            return enter & (occ_cur < 0.5)
 
-        def body(p, _):
+        def body(p, occ_cur):
             slot = jax.lax.rem(p, 2)
             nxt = jax.lax.rem(p + 1, 2)
 
@@ -807,17 +822,14 @@ def _occ_tile(
             for c in dma(slot, p):
                 c.wait()
 
-            pend = _slab_pend(shortlist_ref[i, p])
+            pend = _slab_pend(shortlist_ref[i, p], occ_cur)
+            slot_ = jax.lax.rem(p, 2)
+            return jax.lax.cond(
+                jnp.any(pend),
+                lambda _: occ_block(kbuf[slot_], occ_cur),
+                lambda _: occ_cur, 0)
 
-            @pl.when(jnp.any(pend))
-            def _():
-                slot_ = jax.lax.rem(p, 2)
-                occ_ref[pl.ds(r0, tr), 0] = occ_block(
-                    kbuf[slot_], occ_ref[pl.ds(r0, tr), 0])
-
-            return 0
-
-        jax.lax.fori_loop(0, n_active, body, 0)
+        store(jax.lax.fori_loop(0, n_active, body, occ0))
         return
 
     # --- resident (see _culled_tile for the split-path rationale) --------
@@ -828,11 +840,11 @@ def _occ_tile(
             occ_cur = occ_block(kc_ref[ci], occ_cur)
         return occ_cur
 
-    occ_ref[pl.ds(r0, tr), 0] = occ0
+    store(occ0)
 
     @pl.when((n_active > 0) & (n_active <= group_c))
     def _():
-        occ_ref[pl.ds(r0, tr), 0] = group(0, occ0)
+        store(group(0, occ0))
 
     @pl.when(n_active > group_c)
     def _():
@@ -865,7 +877,7 @@ def _occ_tile(
                                 lambda _: (occ_cur, done), 0)
 
         occ_f, _ = jax.lax.fori_loop(0, n_iters, body, (occ0, 0))
-        occ_ref[pl.ds(r0, tr), 0] = occ_f
+        store(occ_f)
 
 
 def triangle_occluded(
@@ -972,7 +984,7 @@ def _occluded_from_fb(fb, mesh: accel.ClusteredMesh, *, quirks: Quirks, live=Non
                 pl.BlockSpec(memory_space=mesh_space),
             ],
             out_specs=pl.BlockSpec(
-                (TILE_R * sub_t, 1), lambda i, *_: (i, 0),
+                (1, TILE_R * sub_t // 128, 128), lambda i, *_: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[
@@ -980,7 +992,7 @@ def _occluded_from_fb(fb, mesh: accel.ClusteredMesh, *, quirks: Quirks, live=Non
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         )
-        return pl.pallas_call(
+        occ_b = pl.pallas_call(
             functools.partial(
                 _occluded_kernel, sign=sign, t_clip=t_clip, cs=cs,
                 resident=resident, sub_t=sub_t,
@@ -988,9 +1000,12 @@ def _occluded_from_fb(fb, mesh: accel.ClusteredMesh, *, quirks: Quirks, live=Non
                 mt_passes=mt_passes,
             ),
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((fb_b.shape[0], 1), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct(
+                (fb_b.shape[0] // (TILE_R * sub_t),
+                 TILE_R * sub_t // 128, 128), jnp.float32),
             interpret=_interpret(),
         )(order_b, counts_b, ent_b, fb_b, cull_lo, cull_hi, k10)
+        return occ_b.reshape(-1)
 
     occ = _batched_launch(launch, order, counts, ent_sorted, fb_p)
-    return occ[:R, 0] > 0.5
+    return occ[:R] > 0.5
