@@ -33,7 +33,6 @@ from skele_raytracer_tpu.ops.pallas.intersect import (
     _interpret,
     _pad_rows,
     pack_triangles,
-    ray_features,
 )
 
 def _ray_features10(o, d):
