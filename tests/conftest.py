@@ -23,10 +23,13 @@ import sys
 def _needs_reexec() -> bool:
     if os.environ.get("SKT_TEST_REEXEC") == "1":
         return False
-    import jax
-
-    devs = jax.devices()
-    return len(devs) < 8 or devs[0].platform != "cpu"
+    # Always re-exec onto the clean CPU-mesh env. The parent must NEVER
+    # touch jax here: with the axon sitecustomize on PYTHONPATH, backend
+    # init blocks in C on a dead TPU tunnel (observed mid-round when the
+    # relay process died) — unkillable by SIGALRM, so probing
+    # jax.devices() can hang the whole suite. The re-exec costs one
+    # process spawn and needs no device information.
+    return True
 
 
 def pytest_configure(config):

@@ -139,6 +139,9 @@ STOCHASTIC_CASES = [
     ("spheres2_gillum16_shadows_128.npz", "spheres2.scn",
      dict(width=128, height=96, monte_carlo=True, num_paths=16,
           max_depth=2, use_shadows=True), 4000),
+    ("spheres2_jsample5_shadows_128.npz", "spheres2.scn",
+     dict(width=128, height=96, grid_size=5, max_depth=1,
+          use_shadows=True), 2000),
 ]
 
 

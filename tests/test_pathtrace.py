@@ -213,6 +213,26 @@ class TestLoopModeSpheres:
 
 
 class TestDispatch:
+    def test_sphere_count_envelope_gates(self):
+        """Dispatch gates across the sphere-count envelope: unrolled
+        kernel to _UNROLL_SPHERES, fori_loop kernel to MAX_SPHERES, jnp
+        wavefront beyond (the reference's brute force,
+        src/raytrace.h:152-166, silently scales; so must we). Value
+        checks for the loop regime live in TestLoopModeSpheres; here the
+        >MAX_SPHERES fallback additionally renders (cheap jnp path)."""
+        cfg = RenderConfig(width=8, height=6, monte_carlo=True, num_paths=2,
+                           max_depth=2, use_shadows=True, backend="pallas",
+                           rays_per_chunk=1 << 10)
+        for n, served, replay in ((48, True, True), (96, True, False),
+                                  (300, False, False)):
+            scene = _many_sphere_scene(n)
+            assert pathtrace.use_pathtrace(scene, cfg) == served, n
+            assert pathtrace._can_replay(scene, cfg) == replay, n
+        ids = jnp.arange(8 * 6, dtype=jnp.uint32)
+        r = np.asarray(render_ids_chunked(
+            _many_sphere_scene(300), cfg, jnp.uint32(2), ids))
+        assert np.isfinite(r).all() and r.std() > 0
+
     def test_gates(self, parsed_spheres, parsed_test_scene):
         from tests.conftest import make_mesh_scene
 

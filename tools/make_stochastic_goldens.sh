@@ -62,6 +62,7 @@ configs() {
 spheres1_jsample5_shadows_160|spheres1.scn|160|120|--jsample 5 --depth 1 --shadow
 spheres1_gillum16_shadows_160|spheres1.scn|160|120|--gillum 16 --depth 2 --shadow
 spheres2_gillum16_shadows_128|spheres2.scn|128|96|--gillum 16 --depth 2 --shadow
+spheres2_jsample5_shadows_128|spheres2.scn|128|96|--jsample 5 --depth 1 --shadow
 EOF
 }
 
