@@ -318,3 +318,24 @@ def test_occluded_incoherent_route_matches_bruteforce():
     lv = np.asarray(live) > 0
     agree = np.asarray(occ)[lv] == ref[lv]
     assert agree.mean() > 0.995, f"{(~agree).sum()} live rays disagree"
+
+
+def test_prepacked_blocks_match_jnp_fallback():
+    """accel.build_clusters prebuilds the culled kernels' folded blocks
+    (mesh.k10/org) in NumPy; culled.pack_cluster_blocks carries a jnp
+    fallback for ad-hoc meshes. The two packers must not drift: compare
+    them on a real mesh (allclose — XLA may fuse the cross products into
+    FMAs NumPy does not use)."""
+    import numpy as np
+
+    from skele_raytracer_tpu.ops import accel
+    from skele_raytracer_tpu.ops.pallas import culled
+    from tests.conftest import make_mesh_scene
+
+    mesh = make_mesh_scene(t=300).clusters
+    assert mesh.k10 is not None and mesh.org is not None
+    stripped = mesh._replace(k10=None, org=None)
+    k10_j, org_j = culled.pack_cluster_blocks(stripped)
+    np.testing.assert_allclose(
+        np.asarray(mesh.k10), np.asarray(k10_j), rtol=1e-6, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(mesh.org), np.asarray(org_j))
