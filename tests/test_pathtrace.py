@@ -199,6 +199,48 @@ class TestLoopModeSpheres:
         err = np.abs(a - b)
         assert (err > 1e-3).mean() <= 0.01, err.max()
 
+    def test_loop_mode_with_decorative_triangles(self):
+        """Loop-mode sphere scans compose with the unrolled triangle
+        scan and triangle shadow occlusion (a >64-sphere scene that
+        also carries a few decorative triangles, clean mode so the
+        triangles shade and occlude)."""
+        from skele_raytracer_tpu.scene.types import make_scene
+
+        rng = np.random.default_rng(5)
+        spheres = []
+        for _ in range(80):
+            c = rng.uniform(-6, 6, 3)
+            c[1] = abs(c[1])
+            spheres.append(dict(
+                center=tuple(c), radius=float(rng.uniform(0.3, 0.8)),
+                ambient=tuple(rng.uniform(0, .3, 3)),
+                diffuse=tuple(rng.uniform(0, 1, 3)),
+                specular=tuple(rng.uniform(0, .5, 3)),
+                transmissive=(0, 0, 0),
+                power=float(rng.uniform(2, 40)), ior=1.2))
+        mat = dict(ambient=(0.2, 0.1, 0.1), diffuse=(0.7, 0.3, 0.2),
+                   specular=(0.2, 0.2, 0.2), transmissive=(0, 0, 0),
+                   power=8.0, ior=1.0)
+        tris = [dict(v0=(-8, 0, 4), v1=(8, 0, 4), v2=(0, 10, 4), **mat),
+                dict(v0=(-4, 0, -6), v1=(4, 0, -6), v2=(0, 6, -6), **mat)]
+        scene = make_scene(
+            spheres=spheres, triangles=tris,
+            point_lights=[dict(position=(0, 25, -15),
+                               colour=(400, 400, 400))],
+            ambient=(0.2, 0.2, 0.2), camera_position=(0, 3, -20),
+            camera_direction=(0, 0, 1), camera_up=(0, 1, 0),
+            background=(.05, .1, .15))
+        cfg = RenderConfig(width=8, height=6, monte_carlo=True, num_paths=2,
+                           max_depth=2, use_shadows=True, backend="pallas",
+                           rays_per_chunk=1 << 10, quirks=CLEAN)
+        assert pathtrace.use_pathtrace(scene, cfg)
+        assert not pathtrace._can_replay(scene, cfg)
+        ids = jnp.arange(8 * 6, dtype=jnp.uint32)
+        a = np.asarray(render_ids_chunked(scene, cfg, jnp.uint32(4), ids))
+        b = np.asarray(render_ids_chunked_jnp(scene, cfg, jnp.uint32(4), ids))
+        err = np.abs(a - b)
+        assert (err > 1e-3).mean() <= 0.02, err.max()
+
     def test_128_sphere_grads_via_jnp_fallback(self):
         scene = _many_sphere_scene(128)
         cfg = RenderConfig(width=8, height=6, monte_carlo=True, num_paths=2,
