@@ -200,11 +200,24 @@ def ray_aabb_entry(o, d, lo, hi, *, t_clip: float = 0.0, allow_negative: bool = 
     negative-t hits). Entry for non-entered boxes is undefined (gate with
     the mask).
     """
-    inv = 1.0 / jnp.where(jnp.abs(d) > 1e-30, d, 1e-30)  # [R, 3]
-    t0 = (lo[None, :, :] - o[:, None, :]) * inv[:, None, :]  # [R, C, 3]
-    t1 = (hi[None, :, :] - o[:, None, :]) * inv[:, None, :]
-    tmin = jnp.max(jnp.minimum(t0, t1), axis=2)  # [R, C]
-    tmax = jnp.min(jnp.maximum(t0, t1), axis=2)
+    # The 3-axis is UNROLLED into pairwise min/max instead of a
+    # jnp.max/min(axis=2) over an [R, C, 3] broadcast: a reduce op cannot
+    # fuse into the consumer's tile-min reduce, so the reduce form
+    # materialized per-(ray, cluster) tmin/tmax arrays (42 MB each on a
+    # dragon bounce wave, ~20% of the gillum16 frame in HBM traffic +
+    # relayout copies). Pairwise max/min of three values is bitwise
+    # identical to the axis reduce, and the fully elementwise chain lets
+    # XLA collapse ray features -> slab test -> tile reduce into ONE
+    # fusion that never materializes an [R, C] intermediate.
+    tmin = tmax = None
+    for a in range(3):
+        d_a = d[:, a]
+        inv_a = 1.0 / jnp.where(jnp.abs(d_a) > 1e-30, d_a, 1e-30)  # [R]
+        t0 = (lo[None, :, a] - o[:, None, a]) * inv_a[:, None]  # [R, C]
+        t1 = (hi[None, :, a] - o[:, None, a]) * inv_a[:, None]
+        near, far = jnp.minimum(t0, t1), jnp.maximum(t0, t1)
+        tmin = near if tmin is None else jnp.maximum(tmin, near)
+        tmax = far if tmax is None else jnp.minimum(tmax, far)
     hit = tmin <= tmax
     if not allow_negative:
         hit = hit & (tmax > t_clip)
