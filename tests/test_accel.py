@@ -339,3 +339,34 @@ def test_prepacked_blocks_match_jnp_fallback():
     np.testing.assert_allclose(
         np.asarray(mesh.k10), np.asarray(k10_j), rtol=1e-6, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(mesh.org), np.asarray(org_j))
+
+
+@pytest.mark.parametrize("allow_negative", [False, True])
+def test_aabb_entry_unrolled_matches_reduce_form(allow_negative):
+    """ray_aabb_entry's 3-axis is UNROLLED into pairwise min/max so the
+    slab chain stays elementwise and fuses into the consumer's tile-min
+    reduce (no [R, C] tmin/tmax materialization — PERF.md round 5). This
+    guards that the unrolled form is BITWISE the naive [R, C, 3]
+    broadcast + axis-reduce it replaced."""
+    rng = np.random.default_rng(11)
+    R, C = 257, 13
+    o = jnp.asarray(rng.uniform(-5, 5, (R, 3)).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(R, 3)).astype(np.float32))
+    # include degenerate axis-aligned directions and a zero component
+    d = d.at[:40, 0].set(0.0)
+    lo = jnp.asarray(rng.uniform(-6, 2, (C, 3)).astype(np.float32))
+    hi = lo + jnp.asarray(rng.uniform(0.1, 6, (C, 3)).astype(np.float32))
+
+    hit, tmin = accel.ray_aabb_entry(o, d, lo, hi, allow_negative=allow_negative)
+
+    inv = 1.0 / jnp.where(jnp.abs(d) > 1e-30, d, 1e-30)
+    t0 = (lo[None, :, :] - o[:, None, :]) * inv[:, None, :]
+    t1 = (hi[None, :, :] - o[:, None, :]) * inv[:, None, :]
+    tmin_ref = jnp.max(jnp.minimum(t0, t1), axis=2)
+    tmax_ref = jnp.min(jnp.maximum(t0, t1), axis=2)
+    hit_ref = tmin_ref <= tmax_ref
+    if not allow_negative:
+        hit_ref = hit_ref & (tmax_ref > 0.0)
+
+    np.testing.assert_array_equal(np.asarray(hit), np.asarray(hit_ref))
+    np.testing.assert_array_equal(np.asarray(tmin), np.asarray(tmin_ref))
